@@ -1,0 +1,67 @@
+"""Pack/unpack round-trip tests for int32 packed weights."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from omniquant_tpu.quant import (
+    QuantConfig,
+    fake_quant_weight,
+    pack_codes,
+    unpack_codes,
+    pack_weight,
+    dequantize_packed,
+)
+
+
+@pytest.mark.parametrize("bits", [2, 3, 4, 8])
+def test_pack_unpack_roundtrip(bits):
+    rng = np.random.default_rng(bits)
+    out_f, in_f = 24, 130  # non-multiple of vals_per_word on purpose
+    codes = jnp.asarray(
+        rng.integers(0, 2**bits, size=(out_f, in_f)), jnp.int32
+    )
+    packed = pack_codes(codes, bits)
+    assert packed.dtype == jnp.int32
+    unpacked = unpack_codes(packed, bits, in_f)
+    np.testing.assert_array_equal(np.asarray(unpacked), np.asarray(codes).T)
+
+
+@pytest.mark.parametrize("bits,group_size", [(2, 32), (3, 32), (4, 32), (4, None)])
+def test_packed_dequant_matches_fake_quant(bits, group_size):
+    """pack_weight -> dequantize_packed == fake_quant_weight (transposed)."""
+    rng = np.random.default_rng(10 + bits)
+    w = jnp.asarray(rng.standard_normal((16, 64)).astype(np.float32))
+    cfg = QuantConfig(n_bits=bits, group_size=group_size)
+    pw = pack_weight(w, cfg)
+    deq_t = dequantize_packed(pw)  # (in, out)
+    fq = fake_quant_weight(w, cfg)  # (out, in)
+    np.testing.assert_allclose(
+        np.asarray(deq_t), np.asarray(fq).T, rtol=1e-5, atol=1e-5
+    )
+
+
+def test_packed_matmul_matches_fake_quant_matmul():
+    rng = np.random.default_rng(42)
+    w = jnp.asarray(rng.standard_normal((32, 64)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((8, 64)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal(32).astype(np.float32))
+    cfg = QuantConfig(n_bits=4, group_size=16)
+    pw = pack_weight(w, cfg, bias=b)
+    y_packed = x @ dequantize_packed(pw) + pw.bias
+    y_fake = x @ fake_quant_weight(w, cfg).T + b
+    np.testing.assert_allclose(
+        np.asarray(y_packed), np.asarray(y_fake), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_compression_ratio():
+    """W4g128 packed storage ~4.25 bits/weight; W2g128 ~2.25."""
+    w = jnp.zeros((256, 512), jnp.float32)
+    for bits, expect in [(4, 4.25), (2, 2.25)]:
+        cfg = QuantConfig(n_bits=bits, group_size=128)
+        pw = pack_weight(w + 0.1, cfg)
+        n_weights = 256 * 512
+        total_bits = (
+            pw.qweight.size * 32 + pw.scales.size * 16 + pw.zeros.size * 16
+        )  # scales/zeros counted at fp16 storage width
+        assert total_bits / n_weights == pytest.approx(expect, rel=0.02)
