@@ -1,0 +1,290 @@
+"""Block-wise OmniQuant calibration — the TPU-native `omniquant()` equivalent.
+
+Re-design of the reference's hot loop (quantize/omniquant.py:22-289) around
+JAX's compilation model:
+
+  * No Catcher exception hack: the functional embed() gives layer-0 inputs
+    directly (reference :89-113 needed a raising nn.Module because the torch
+    model is a black box).
+  * One jitted train step / fp step / propagate step compiled once and reused
+    for every layer (shape-stable across a family's blocks), with buffer
+    donation for the (nsamples, seqlen, hidden) activation tensors.
+  * Trainables are a pytree {'let': ..., 'lwc': ...}; optax.multi_transform
+    gives the two learning-rate groups (reference :204-208 AdamW param
+    groups, let_lr 5e-3 / lwc_lr 1e-2, wd 0).
+  * f32 parameters and compute by default (the reference's own
+    --deactive_amp regime, main.py:241-242 — bf16 buffers optional for
+    large models); no loss scaler needed.
+  * After each block: stop_gradient fold (LET into norms/linears, weights
+    hard fake-quantized) == smooth_and_quant_inplace (:239), then the
+    quantized block propagates quant_inps (:241-245), and the trainables are
+    checkpointed per layer (:249-250).
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+import time
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.common import ActQuantSpec, causal_mask
+from ..models.registry import ModelFamily
+from ..quant.quantizer import QuantConfig
+from ..utils.checkpoint import load_pytree, save_pytree
+
+
+@dataclasses.dataclass
+class CalibConfig:
+    """Hyperparameters (reference main.py:193-229 argparse defaults where
+    they exist; epochs default 20 per the blessed scripts)."""
+
+    wbits: int = 4
+    abits: int = 16
+    group_size: Optional[int] = None
+    symmetric: bool = False
+    lwc: bool = True
+    let: bool = False
+    alpha: float = 0.5
+    epochs: int = 20
+    nsamples: int = 128
+    batch_size: int = 1
+    let_lr: float = 5e-3
+    lwc_lr: float = 1e-2
+    wd: float = 0.0
+    aug_loss: bool = False
+    buffer_dtype: Any = jnp.float32  # bf16 for 13B+ to halve activation memory
+    output_dir: Optional[str] = None
+    resume: Optional[str] = None
+
+    @property
+    def weight_quant_config(self) -> Optional[QuantConfig]:
+        if self.wbits >= 16:
+            return None
+        return QuantConfig(
+            n_bits=self.wbits,
+            symmetric=self.symmetric,
+            group_size=self.group_size,
+            lwc=self.lwc,
+        )
+
+    @property
+    def act_quant_spec(self) -> ActQuantSpec:
+        return ActQuantSpec.from_bits(self.abits)
+
+
+def _tree_none_if_empty(d):
+    return d if d else None
+
+
+def calibrate(
+    family: ModelFamily,
+    params: dict,
+    model_cfg,
+    calib_tokens: jax.Array,  # (nsamples, seqlen) int32
+    cc: CalibConfig,
+    act_scales: Optional[list] = None,  # per-layer {linear_name: (in,)} stats
+    act_shifts: Optional[list] = None,
+    logger=None,
+    progress_cb: Optional[Callable] = None,
+) -> tuple:
+    """Run block-wise calibration in place over `params['layers']`.
+
+    Returns (params, omni_parameters) where omni_parameters is
+    {layer_idx: {'let': ..., 'lwc': ...}} — the distribution format
+    (reference omni_parameters.pth, quantize/omniquant.py:249-250).
+    """
+    log = logger.info if logger else (lambda *a: None)
+    n, seqlen = calib_tokens.shape
+    assert n == cc.nsamples, (n, cc.nsamples)
+    wcfg = cc.weight_quant_config
+    spec = cc.act_quant_spec
+    bs = cc.batch_size
+
+    # ---- layer-0 inputs (replaces the Catcher; reference :83-113) ----
+    embed_fn = jax.jit(lambda p, t: family.embed(p, t, model_cfg).astype(cc.buffer_dtype))
+    emb_params = {k: v for k, v in params.items() if k != "layers"}
+    # chunk to bound embed memory for big vocab
+    quant_inps = jnp.concatenate(
+        [embed_fn(emb_params, calib_tokens[i : i + 8]) for i in range(0, n, 8)]
+    )
+    # real copies: the per-block functions donate these buffers, so they must
+    # not alias each other (reference deepcopies at :136-138 for the same
+    # reason, minus the donation)
+    fp_inps = jnp.copy(quant_inps)
+    fp_inps_2 = jnp.copy(quant_inps) if cc.aug_loss else None
+
+    mask = causal_mask(seqlen, seqlen, dtype=cc.buffer_dtype)
+    positions = jnp.arange(seqlen)
+
+    # ---- jitted per-block functions, compiled once, reused per layer ----
+    @partial(jax.jit, donate_argnums=(1,))
+    def fp_block_all(layer, xs):
+        """Full-precision reference outputs for all samples (:165-172)."""
+        def body(carry, x):
+            y, _ = family.block_forward(layer, x[None], model_cfg, mask, positions)
+            return carry, y[0]
+        _, ys = jax.lax.scan(body, None, xs)
+        return ys
+
+    @partial(jax.jit, donate_argnums=(1,))
+    def quant_block_all(layer, xs):
+        """Propagate quantized-activation inputs (:241-245): quantized
+        weights (already folded into `layer`) + act quant enabled."""
+        def body(carry, x):
+            y, _ = family.block_forward(
+                layer, x[None], model_cfg, mask, positions, spec)
+            return carry, y[0]
+        _, ys = jax.lax.scan(body, None, xs)
+        return ys
+
+    def loss_fn(trainable, layer, qin, fp_out, fp_out_2):
+        eff = family.effective_block_weights(
+            layer, wcfg,
+            _tree_none_if_empty(trainable.get("lwc")),
+            _tree_none_if_empty(trainable.get("let")),
+            model_cfg,
+        )
+        out, _ = family.block_forward(eff, qin, model_cfg, mask, positions, spec)
+        loss = jnp.mean((out.astype(jnp.float32) - fp_out.astype(jnp.float32)) ** 2)
+        if fp_out_2 is not None:
+            loss = loss + jnp.mean(
+                (out.astype(jnp.float32) - fp_out_2.astype(jnp.float32)) ** 2)
+        return loss
+
+    def make_optimizer():
+        def label_fn(tree):
+            return {k: jax.tree.map(lambda _: k, v) for k, v in tree.items()}
+        return optax.multi_transform(
+            {
+                "let": optax.adamw(cc.let_lr, weight_decay=cc.wd),
+                "lwc": optax.adamw(cc.lwc_lr, weight_decay=cc.wd),
+            },
+            label_fn,
+        )
+
+    opt = make_optimizer()
+
+    @jax.jit
+    def train_step(trainable, opt_state, layer, qin, fp_out, fp_out_2):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            trainable, layer, qin, fp_out, fp_out_2)
+        gnorm = optax.global_norm(grads)
+        updates, opt_state = opt.update(grads, opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        return trainable, opt_state, loss, gnorm
+
+    from ..quant.quantizer import fake_quant_weight, weight_scale_zp
+
+    @jax.jit
+    def fold_block(layer, trainable):
+        """smooth_and_quant_inplace (:239): fold LET, hard fake-quant weights.
+
+        Also returns per-linear (scale, round_zero_point) — the
+        register_scales_and_zeros equivalent (reference :246,
+        quantize/quantizer.py:149-152) consumed by real-quant packing.
+        """
+        lwc = _tree_none_if_empty(trainable.get("lwc"))
+        let = _tree_none_if_empty(trainable.get("let"))
+        smoothed = family.effective_block_weights(
+            layer, None, None, let, model_cfg, quantize=False)
+        qparams = {}
+        if wcfg is not None:
+            for name in family.linear_names:
+                w = smoothed[name]["weight"]
+                lw = lwc.get(name) if lwc else None
+                scale, rzp = weight_scale_zp(w, wcfg, lw)
+                qparams[name] = {"scale": scale, "zero": rzp}
+                smoothed[name] = dict(smoothed[name])
+                smoothed[name]["weight"] = fake_quant_weight(w, wcfg, lw)
+        return jax.lax.stop_gradient((smoothed, qparams))
+
+    omni_parameters = {}
+    if cc.resume:
+        loaded = load_pytree(cc.resume)
+        omni_parameters = {int(k): v for k, v in loaded.items()}
+        log(f"resumed omni parameters for {len(omni_parameters)} layers")
+
+    layers = params["layers"]
+    for i in range(len(layers)):
+        t0 = time.time()
+        log(f"=== Start quantize layer {i} ===")
+        layer = layers[i]
+
+        if cc.epochs > 0:
+            fp_inps = fp_block_all(layer, fp_inps)  # in-place via donation (:170)
+            if cc.aug_loss:
+                # second target: the FP block applied to the *quantized*
+                # trajectory (reference :172) — copy since the fn donates
+                fp_inps_2 = fp_block_all(layer, jnp.copy(quant_inps))
+
+        # ---- init trainables (reference :175-197) ----
+        trainable = {}
+        if cc.let and family.supports_let:
+            scales_i = act_scales[i] if act_scales is not None else None
+            shifts_i = act_shifts[i] if act_shifts is not None else None
+            if family.name == "llama":
+                let = family.init_let_params(
+                    layer, model_cfg, scales_i, alpha=cc.alpha)
+            else:
+                let = family.init_let_params(
+                    layer, model_cfg, scales_i, shifts_i, alpha=cc.alpha)
+            trainable["let"] = let
+        if cc.lwc and wcfg is not None:
+            trainable["lwc"] = family.init_lwc_params_block(layer, wcfg)
+        if i in omni_parameters:
+            resumed = {k: v for k, v in omni_parameters[i].items()
+                       if k in trainable}
+            trainable = jax.tree.map(
+                lambda _, r: jnp.asarray(r), trainable, resumed)
+
+        if cc.epochs > 0 and trainable:
+            opt_state = opt.init(trainable)
+            nan_stop = False
+            for epoch in range(cc.epochs):
+                losses, norms = [], []
+                for j in range(cc.nsamples // bs):
+                    idx = j * bs
+                    trainable, opt_state, loss, gnorm = train_step(
+                        trainable, opt_state, layer,
+                        quant_inps[idx : idx + bs],
+                        fp_inps[idx : idx + bs],
+                        fp_inps_2[idx : idx + bs] if cc.aug_loss else None,
+                    )
+                    losses.append(loss)
+                    norms.append(gnorm)
+                loss_mean = float(jnp.mean(jnp.stack(losses)))
+                norm_mean = float(jnp.mean(jnp.stack(norms)))
+                log(f"layer {i} iter {epoch} loss:{loss_mean:.6e} "
+                    f"norm:{norm_mean:.6e}")
+                if not math.isfinite(loss_mean):
+                    log("Loss is NAN, stopping training")  # reference :223-225
+                    nan_stop = True
+                    break
+                if progress_cb:
+                    progress_cb(i, epoch, loss_mean)
+
+        # ---- fold + propagate (reference :238-250) ----
+        if trainable or wcfg is not None:
+            folded, qparams = fold_block(layer, trainable)
+        else:
+            folded, qparams = layer, {}
+        layers[i] = folded
+        if cc.epochs > 0:
+            quant_inps = quant_block_all(folded, quant_inps)
+        omni_parameters[i] = dict(trainable)
+        if qparams:
+            omni_parameters[i]["qparams"] = qparams
+        if cc.output_dir:
+            save_pytree(
+                f"{cc.output_dir}/omni_parameters.npz",
+                {str(k): v for k, v in omni_parameters.items()},
+            )
+        log(f"layer {i} done in {time.time() - t0:.1f}s")
+
+    params["layers"] = layers
+    return params, omni_parameters

@@ -125,18 +125,25 @@ def block_forward(
     positions: Optional[jax.Array] = None,
     spec: ActQuantSpec = NO_ACT_QUANT,
     kv_cache: Optional[tuple] = None,
+    tap: Optional[dict] = None,
 ):
     """One decoder block. Returns (y, new_kv_cache).
 
     Mirrors reference QuantLlamaDecoderLayer.forward + QuantLlamaAttention
     (models/int_llama_layer.py:103-267): pre-norm attention with RoPE + GQA,
     q/k/v/p fake-quant at the attention matmuls, pre-norm SwiGLU MLP.
+
+    `tap`, when a dict, collects each linear's input activation (the
+    functional analog of the reference's forward hooks in
+    generate_act_scale_shift.py:25-57).
     """
     b, s, h = x.shape
     hd, n_heads, n_kv = cfg.head_dim, cfg.num_attention_heads, cfg.num_key_value_heads
 
     residual = x
     hidden = rms_norm(x, p["input_layernorm"], cfg.rms_norm_eps)
+    if tap is not None:
+        tap["q_proj"] = tap["k_proj"] = tap["v_proj"] = hidden
 
     q = linear(hidden, p["q_proj"], spec.act).reshape(b, s, n_heads, hd).transpose(0, 2, 1, 3)
     k = linear(hidden, p["k_proj"], spec.act).reshape(b, s, n_kv, hd).transpose(0, 2, 1, 3)
@@ -159,14 +166,21 @@ def block_forward(
         mask = causal_mask(s, k_r.shape[2], dtype=x.dtype)
     attn = attention_core(q, k_r, v_r, mask, 1.0 / (hd ** 0.5), spec)
     attn = attn.transpose(0, 2, 1, 3).reshape(b, s, n_heads * hd)
+    if tap is not None:
+        tap["o_proj"] = attn
     attn_out = linear(attn, p["o_proj"], spec.act)
     x = residual + attn_out
 
     residual = x
     hidden = rms_norm(x, p["post_attention_layernorm"], cfg.rms_norm_eps)
+    if tap is not None:
+        tap["gate_proj"] = tap["up_proj"] = hidden
     gate = linear(hidden, p["gate_proj"], spec.act)
     up = linear(hidden, p["up_proj"], spec.act)
-    mlp_out = linear(jax.nn.silu(gate) * up, p["down_proj"], spec.act)
+    mlp_in = jax.nn.silu(gate) * up
+    if tap is not None:
+        tap["down_proj"] = mlp_in
+    mlp_out = linear(mlp_in, p["down_proj"], spec.act)
     return residual + mlp_out, new_cache
 
 

@@ -74,6 +74,7 @@ def block_forward(
     positions: Optional[jax.Array] = None,  # unused (positions live in embed)
     spec: ActQuantSpec = NO_ACT_QUANT,
     kv_cache: Optional[tuple] = None,
+    tap: Optional[dict] = None,
 ):
     """One OPT decoder block (reference models/int_opt_layer.py:268-346).
 
@@ -88,6 +89,8 @@ def block_forward(
     hidden = x
     if cfg.do_layer_norm_before:
         hidden = layer_norm(hidden, p["self_attn_layer_norm"], cfg.layer_norm_eps)
+    if tap is not None:
+        tap["q_proj"] = tap["k_proj"] = tap["v_proj"] = hidden
 
     q = linear(hidden, p["q_proj"], spec.act) * (hd ** -0.5)
     from .common import maybe_quant
@@ -112,6 +115,8 @@ def block_forward(
     p_only = ActQuantSpec(p=spec.p)
     attn = attention_core(q, k, v, mask, 1.0, p_only)
     attn = attn.transpose(0, 2, 1, 3).reshape(b, s, h)
+    if tap is not None:
+        tap["out_proj"] = attn
     attn_out = linear(attn, p["out_proj"], spec.act)
     x = residual + attn_out
     if not cfg.do_layer_norm_before:
@@ -121,7 +126,11 @@ def block_forward(
     hidden = x
     if cfg.do_layer_norm_before:
         hidden = layer_norm(hidden, p["final_layer_norm"], cfg.layer_norm_eps)
+    if tap is not None:
+        tap["fc1"] = hidden
     hidden = jax.nn.relu(linear(hidden, p["fc1"], spec.act))
+    if tap is not None:
+        tap["fc2"] = hidden
     hidden = linear(hidden, p["fc2"], spec.act)
     x = residual + hidden
     if not cfg.do_layer_norm_before:

@@ -112,10 +112,26 @@ def pack_weight(
     cfg: QuantConfig,
     lwc_params: Optional[dict] = None,
     bias: Optional[jax.Array] = None,
+    scale: Optional[jax.Array] = None,
+    rzp: Optional[jax.Array] = None,
 ) -> PackedWeight:
-    """Quantize + pack a weight (out, in) into PackedWeight."""
+    """Quantize + pack a weight (out, in) into PackedWeight.
+
+    If `scale`/`rzp` are given (calibration-recorded quantizer state, shape
+    (num_groups, 1)), codes are derived against that exact grid — the
+    reference's pack(module, scales, zeros) path (quantize/omniquant.py:
+    258-265) where the weight is already the dequantized fixed point.
+    """
     out_f, in_f = w.shape
-    codes, scale, rzp = quantize_weight_int(w, cfg, lwc_params)
+    if scale is not None:
+        deficiency = cfg.deficiency(in_f)
+        xq = jnp.pad(w, ((0, 0), (0, deficiency))) if deficiency else w
+        grouped = xq.reshape(-1, cfg.group_size) if cfg.group_size else xq
+        codes = jnp.clip(
+            jnp.round(grouped / scale) + rzp, cfg.qmin, cfg.qmax)
+        codes = codes.reshape(out_f, in_f + deficiency).astype(jnp.int32)
+    else:
+        codes, scale, rzp = quantize_weight_int(w, cfg, lwc_params)
     in_padded = codes.shape[1]  # includes deficiency padding
     # scale/rzp are (num_groups, 1); reshape to (out, n_groups)
     scales = scale.reshape(out_f, -1).astype(jnp.float32)

@@ -1,0 +1,187 @@
+"""End-to-end calibration engine tests on tiny models (CPU).
+
+The acceptance criteria mirror the reference's implicit contract:
+calibration must (a) run the full block loop, (b) reduce block-output MSE,
+(c) produce a model whose quantized ppl beats naive RTN quantization, and
+(d) leave fp behavior untouched when bits >= 16.
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from omniquant_tpu.calib import CalibConfig, calibrate, collect_act_stats, get_synthetic
+from omniquant_tpu.eval import evaluate_ppl
+from omniquant_tpu.models import OPT, LLAMA
+from omniquant_tpu.models import opt as jopt
+from omniquant_tpu.models import llama as jllama
+from omniquant_tpu.quant import QuantConfig, fake_quant_weight
+
+
+SEQLEN = 32
+NSAMPLES = 8
+
+
+def pretrain(family, params, cfg, tokens, steps=300, lr=3e-3):
+    """Brief LM pretraining so the fixture model has real signal for ppl
+    comparisons (a random-init model's ppl is ~vocab_size regardless of
+    quantization quality)."""
+    import optax
+
+    opt = optax.adam(lr)
+    state = opt.init(params)
+
+    @jax.jit
+    def step(params, state, batch):
+        def loss_fn(p):
+            logits = family.forward(p, batch, cfg)
+            logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32))
+            tgt = batch[:, 1:]
+            return -jnp.take_along_axis(logp, tgt[..., None], axis=-1).mean()
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, state = opt.update(grads, state, params)
+        return optax.apply_updates(params, updates), state, loss
+
+    n = tokens.shape[0]
+    for i in range(steps):
+        batch = tokens[(i * 4) % n : (i * 4) % n + 4]
+        params, state, loss = step(params, state, batch)
+    return params
+
+
+@pytest.fixture(scope="module")
+def tiny_opt(calib_data):
+    cfg = jopt.OPTConfig(
+        vocab_size=128, hidden_size=32, ffn_dim=64, num_hidden_layers=2,
+        num_attention_heads=4, max_position_embeddings=64,
+    )
+    params = jopt.init_params(jax.random.PRNGKey(0), cfg)
+    # same corpus (seed=2) as calib_data so eval ppl is in-distribution
+    train_tokens, _ = get_synthetic(
+        64, seed=2, seqlen=SEQLEN, vocab_size=128, total_len=20_000)
+    params = pretrain(OPT, params, cfg, jnp.asarray(train_tokens))
+    return cfg, params
+
+
+@pytest.fixture(scope="module")
+def calib_data():
+    train, test = get_synthetic(NSAMPLES, seed=2, seqlen=SEQLEN,
+                                vocab_size=128, total_len=20_000)
+    return jnp.asarray(train), test
+
+
+def clone(params):
+    return jax.tree.map(lambda x: x, params, is_leaf=lambda x: x is None)
+
+
+def test_lwc_calibration_beats_rtn(tiny_opt, calib_data):
+    cfg, params = tiny_opt
+    train, test = calib_data
+
+    losses = []
+    # W2 per-channel: the regime where learnable clipping has strong signal
+    # lwc_lr raised vs the production recipe (1e-2 over 2560 steps/layer)
+    # so convergence is visible in the test's 96 steps
+    cc = CalibConfig(wbits=2, abits=16, group_size=None, lwc=True, let=False,
+                     epochs=12, nsamples=NSAMPLES, batch_size=1, lwc_lr=5e-2)
+    qparams, omni = calibrate(
+        OPT, clone(params), cfg, train, cc,
+        progress_cb=lambda i, e, l: losses.append((i, e, l)))
+
+    # loss decreased within each layer
+    for layer in (0, 1):
+        ls = [l for (i, e, l) in losses if i == layer]
+        assert ls[-1] < ls[0] * 0.9, (layer, ls[0], ls[-1])
+
+    # ppl: calibrated < RTN, both > fp
+    fp_ppl = evaluate_ppl(OPT, params, cfg, test, seqlen=SEQLEN)
+    rtn = clone(params)
+    wcfg = QuantConfig(n_bits=2, group_size=None)
+    rtn["layers"] = [
+        OPT.effective_block_weights(b, wcfg, None, None, cfg)
+        for b in rtn["layers"]
+    ]
+    rtn_ppl = evaluate_ppl(OPT, rtn, cfg, test, seqlen=SEQLEN)
+    q_ppl = evaluate_ppl(OPT, qparams, cfg, test, seqlen=SEQLEN)
+    assert q_ppl < rtn_ppl, (q_ppl, rtn_ppl)
+    assert fp_ppl < q_ppl
+    # omni params saved for both layers with lwc factors for all linears
+    assert set(omni.keys()) == {0, 1}
+    assert set(omni[0]["lwc"].keys()) == set(jopt.LINEAR_NAMES)
+
+
+def test_let_lwc_calibration_w4a4(tiny_opt, calib_data):
+    cfg, params = tiny_opt
+    train, test = calib_data
+    scales, shifts = collect_act_stats(OPT, params, cfg, train)
+    assert len(scales) == 2 and "q_proj" in scales[0]
+
+    cc = CalibConfig(wbits=4, abits=4, group_size=None, lwc=True, let=True,
+                     epochs=6, nsamples=NSAMPLES, batch_size=2)
+    losses = []
+    qparams, omni = calibrate(
+        OPT, clone(params), cfg, train, cc, scales, shifts,
+        progress_cb=lambda i, e, l: losses.append((i, e, l)))
+    ls = [l for (i, e, l) in losses if i == 0]
+    assert ls[-1] < ls[0], (ls[0], ls[-1])
+    assert "let" in omni[0] and "qkt_smooth_scale" in omni[0]["let"]
+
+    # LET folded into weights: a bias must have appeared on the layernorms'
+    # smoothing and the model still evaluates finitely with act quant
+    spec = cc.act_quant_spec
+    ppl = evaluate_ppl(OPT, qparams, cfg, test, seqlen=SEQLEN, spec=spec)
+    assert np.isfinite(ppl)
+
+
+def test_epochs0_resume_reproduces_fold(tiny_opt, calib_data, tmp_path):
+    """epochs=0 + resume == the reference's real-quant re-fold path
+    (README 'reproduce evaluation results' recipe)."""
+    cfg, params = tiny_opt
+    train, test = calib_data
+    cc = CalibConfig(wbits=3, abits=16, group_size=16, lwc=True, epochs=3,
+                     nsamples=NSAMPLES, batch_size=2,
+                     output_dir=str(tmp_path))
+    q1, _ = calibrate(OPT, clone(params), cfg, train, cc)
+
+    cc2 = CalibConfig(wbits=3, abits=16, group_size=16, lwc=True, epochs=0,
+                      nsamples=NSAMPLES, batch_size=2,
+                      resume=str(tmp_path / "omni_parameters.npz"))
+    q2, _ = calibrate(OPT, clone(params), cfg, train, cc2)
+    w1 = q1["layers"][0]["fc1"]["weight"]
+    w2 = q2["layers"][0]["fc1"]["weight"]
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), atol=1e-6)
+
+
+def test_wbits16_is_identity(tiny_opt, calib_data):
+    cfg, params = tiny_opt
+    train, _ = calib_data
+    cc = CalibConfig(wbits=16, abits=16, lwc=False, let=False, epochs=0,
+                     nsamples=NSAMPLES)
+    qparams, _ = calibrate(OPT, clone(params), cfg, train, cc)
+    np.testing.assert_allclose(
+        np.asarray(qparams["layers"][0]["fc1"]["weight"]),
+        np.asarray(params["layers"][0]["fc1"]["weight"]))
+
+
+def test_llama_calibration_runs(calib_data):
+    cfg = jllama.LlamaConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64,
+    )
+    params = jllama.init_params(jax.random.PRNGKey(1), cfg)
+    train, test = calib_data
+    scales, shifts = collect_act_stats(LLAMA, params, cfg, train)
+    cc = CalibConfig(wbits=4, abits=16, group_size=16, lwc=True, let=True,
+                     epochs=4, nsamples=NSAMPLES, batch_size=2)
+    losses = []
+    qparams, omni = calibrate(
+        LLAMA, clone(params), cfg, train, cc, scales, shifts,
+        progress_cb=lambda i, e, l: losses.append((i, e, l)))
+    ls = [l for (i, e, l) in losses if i == 1]
+    assert ls[-1] < ls[0]
+    ppl = evaluate_ppl(LLAMA, qparams, cfg, test, seqlen=SEQLEN)
+    assert np.isfinite(ppl)
+    # LET fold materialized a bias on the RMSNorm (reference
+    # models/transformation.py:78-80 behavior)
+    assert qparams["layers"][0]["input_layernorm"].get("bias") is not None
