@@ -1,0 +1,436 @@
+"""Evaluation-harness core: LM interface, JAX-backed LM, task bases.
+
+Torch-free re-design of the reference's vendored EleutherAI harness
+(lm_eval/base.py:20-891): the three request types (loglikelihood,
+loglikelihood_rolling, greedy_until), descending-length batching, rolling
+windows, MultipleChoice acc/acc_norm, and Perplexity word/byte metrics —
+with scoring executed as one jitted length-bucketed logprob function.
+"""
+from __future__ import annotations
+
+import abc
+import dataclasses
+import re
+from collections import defaultdict
+from functools import partial
+from typing import Iterable, List, Optional, Tuple
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# LM interface
+# ---------------------------------------------------------------------------
+
+class LM(abc.ABC):
+    """The three request primitives (reference lm_eval/base.py:843-847)."""
+
+    @abc.abstractmethod
+    def loglikelihood(self, requests) -> List[Tuple[float, bool]]:
+        """[(context, continuation)] -> [(logprob, is_greedy)]"""
+
+    @abc.abstractmethod
+    def loglikelihood_rolling(self, requests) -> List[float]:
+        """[(string,)] -> [sum logprob over rolling windows]"""
+
+    @abc.abstractmethod
+    def greedy_until(self, requests) -> List[str]:
+        """[(context, until_list)] -> [generated string]"""
+
+
+def get_rolling_token_windows(token_list, prefix_token, max_seq_len,
+                              context_len):
+    """Reference lm_eval/utils.py:72-110 semantics: overlapping windows whose
+    predicted portions are disjoint and cover every token exactly once."""
+    assert 1 <= context_len <= max_seq_len
+    pred_len = max_seq_len - context_len + 1
+    predicted = 0
+    first_seq_len = min(max_seq_len, len(token_list))
+    yield ([prefix_token] + token_list[: first_seq_len - 1],
+           token_list[:first_seq_len])
+    predicted += first_seq_len
+    while predicted < len(token_list):
+        window_pred_len = min(len(token_list) - predicted, pred_len)
+        window_end = predicted + window_pred_len
+        yield (
+            token_list[window_end - max_seq_len - 1 : window_end - 1],
+            token_list[window_end - window_pred_len : window_end],
+        )
+        predicted += window_pred_len
+
+
+def make_disjoint_window(pair):
+    """Reference lm_eval/utils.py:113-116."""
+    a, b = pair
+    return a[: len(a) - (len(b) - 1)], b
+
+
+class Reorderer:
+    """Descending-length sort for stable batching (lm_eval/utils.py:119-143)."""
+
+    def __init__(self, arr, fn):
+        self.size = len(arr)
+        arr = list(enumerate(arr))
+        grouped = defaultdict(list)
+        for idx, x in arr:
+            grouped[fn(x)].append((idx, x))
+        self.arr = sorted(grouped.items(), key=lambda x: x[0], reverse=True)
+        self.arr = [(idxs, key) for key, idxs in self.arr]
+
+    def get_reordered(self):
+        return [x for idxs, _ in self.arr for _, x in idxs]
+
+    def get_original(self, newarr):
+        res = [None] * self.size
+        it = iter(newarr)
+        for idxs, _ in self.arr:
+            for idx, _x in idxs:
+                res[idx] = next(it)
+        return res
+
+
+class JaxLM(LM):
+    """LM over an omniquant_tpu model (the LMClass analog,
+    reference models/LMClass.py + models/models_utils.py:257-432)."""
+
+    def __init__(self, family, params, model_cfg, tokenizer,
+                 seqlen: int = 2048, batch_size: int = 4, spec=None,
+                 max_gen_toks: int = 256):
+        import jax
+        import jax.numpy as jnp
+
+        from ...models.common import NO_ACT_QUANT
+
+        self.family = family
+        self.params = params
+        self.cfg = model_cfg
+        self.tokenizer = tokenizer
+        self.seqlen = seqlen
+        self.batch_size = batch_size
+        self.spec = spec if spec is not None else NO_ACT_QUANT
+        self.max_gen_toks = max_gen_toks
+        self._jnp = jnp
+
+        @partial(jax.jit, static_argnames=())
+        def logprob_fn(params, tokens):
+            """tokens (B, L) -> (logprobs (B, L-1, V-gather source), greedy)"""
+            logits = family.forward(params, tokens, model_cfg, self.spec)
+            logp = jax.nn.log_softmax(
+                logits[:, :-1].astype(jnp.float32), axis=-1)
+            tgt = tokens[:, 1:]
+            tok_lp = jnp.take_along_axis(
+                logp, tgt[..., None], axis=-1)[..., 0]  # (B, L-1)
+            greedy = jnp.argmax(logp, axis=-1) == tgt
+            return tok_lp, greedy
+
+        self._logprob_fn = logprob_fn
+
+    # -- tokenization ------------------------------------------------------
+    def tok_encode(self, string: str):
+        return self.tokenizer.encode(string, add_special_tokens=False)
+
+    def tok_decode(self, tokens):
+        return self.tokenizer.decode(tokens)
+
+    @property
+    def eot_token_id(self):
+        tid = getattr(self.tokenizer, "eos_token_id", None)
+        return tid if tid is not None else 0
+
+    # -- scoring -----------------------------------------------------------
+    def _score_token_batches(self, token_pairs):
+        """token_pairs: [(ctx_tokens, cont_tokens)] -> [(ll, greedy)].
+
+        Pads each batch to a power-of-two length bucket so the jit compiles
+        O(log seqlen) shapes.
+        """
+        jnp = self._jnp
+        results = [None] * len(token_pairs)
+        order = sorted(
+            range(len(token_pairs)),
+            key=lambda i: -(len(token_pairs[i][0]) + len(token_pairs[i][1])))
+        for start in range(0, len(order), self.batch_size):
+            chunk = order[start : start + self.batch_size]
+            seqs, cont_lens = [], []
+            for i in chunk:
+                ctx, cont = token_pairs[i]
+                seq = (list(ctx) + list(cont))[-(self.seqlen + 1):]
+                seqs.append(seq)
+                cont_lens.append(len(cont))
+            maxlen = max(len(s) for s in seqs)
+            bucket = max(32, 1 << int(np.ceil(np.log2(maxlen))))
+            batch = np.zeros((len(chunk), bucket), np.int32)
+            for r, s in enumerate(seqs):
+                batch[r, : len(s)] = s
+            tok_lp, greedy = self._logprob_fn(self.params, jnp.asarray(batch))
+            tok_lp = np.asarray(tok_lp)
+            greedy = np.asarray(greedy)
+            for r, i in enumerate(chunk):
+                L = len(seqs[r])
+                cl = cont_lens[r]
+                sl = slice(L - 1 - cl, L - 1)
+                results[i] = (
+                    float(tok_lp[r, sl].sum()), bool(greedy[r, sl].all()))
+        return results
+
+    def loglikelihood(self, requests):
+        pairs = []
+        for context, continuation in requests:
+            if context == "":
+                ctx_tokens = [self.eot_token_id]
+            else:
+                ctx_tokens = self.tok_encode(context)
+            cont_tokens = self.tok_encode(continuation)
+            pairs.append((ctx_tokens, cont_tokens))
+        return self._score_token_batches(pairs)
+
+    def loglikelihood_rolling(self, requests):
+        out = []
+        for (string,) in requests:
+            tokens = self.tok_encode(string)
+            windows = [
+                make_disjoint_window(w)
+                for w in get_rolling_token_windows(
+                    tokens, self.eot_token_id, self.seqlen, 1)
+            ]
+            scores = self._score_token_batches(windows)
+            out.append(sum(s for s, _ in scores))
+        return out
+
+    def greedy_until(self, requests):
+        jnp = self._jnp
+        out = []
+        for context, until in requests:
+            if isinstance(until, str):
+                until = [until]
+            keep = max(1, self.seqlen - self.max_gen_toks)
+            ctx = self.tok_encode(context)[-keep:] or [self.eot_token_id]
+            toks = list(ctx)
+            generated = []
+            for _ in range(self.max_gen_toks):
+                batch = np.asarray(toks[-self.seqlen:], np.int32)[None]
+                logits = self.family.forward(
+                    self.params, jnp.asarray(batch), self.cfg, self.spec)
+                nxt = int(np.argmax(np.asarray(logits[0, -1])))
+                generated.append(nxt)
+                toks.append(nxt)
+                text = self.tok_decode(generated)
+                if any(u in text for u in until) or nxt == self.eot_token_id:
+                    break
+            text = self.tok_decode(generated)
+            for u in until:
+                idx = text.find(u)
+                if idx != -1:
+                    text = text[:idx]
+            out.append(text)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Requests & tasks
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class Request:
+    request_type: str
+    args: tuple
+    index: Optional[int] = None  # None = deliver the full response tuple
+
+    def __iter__(self):
+        for i in range(self._expected_len()):
+            yield Request(self.request_type, self.args, i)
+
+    def __getitem__(self, i):
+        return Request(self.request_type, self.args, i)
+
+    def _expected_len(self):
+        return 2 if self.request_type == "loglikelihood" else 1
+
+
+class RequestFactory:
+    """`rf` — builds typed requests (reference lm_eval/base.py:850-891)."""
+
+    def __getattr__(self, attr):
+        def fn(*args):
+            return Request(attr, args)
+        return fn
+
+
+rf = RequestFactory()
+
+
+class Task(abc.ABC):
+    VERSION = 0
+    DATASET_PATH: Optional[str] = None
+    DATASET_NAME: Optional[str] = None
+
+    def __init__(self, data=None):
+        self._data = data
+        self._training_docs = None
+        self._fewshot_docs = None
+
+    # data access ----------------------------------------------------------
+    def download(self):
+        from datasets import load_dataset
+
+        if self._data is None:
+            self._data = load_dataset(self.DATASET_PATH, self.DATASET_NAME)
+
+    @property
+    def data(self):
+        if self._data is None:
+            self.download()
+        return self._data
+
+    @abc.abstractmethod
+    def has_validation_docs(self):
+        ...
+
+    @abc.abstractmethod
+    def has_test_docs(self):
+        ...
+
+    def has_training_docs(self):
+        return False
+
+    def training_docs(self):
+        return []
+
+    def validation_docs(self):
+        return []
+
+    def test_docs(self):
+        return []
+
+    # prompting ------------------------------------------------------------
+    @abc.abstractmethod
+    def doc_to_text(self, doc):
+        ...
+
+    @abc.abstractmethod
+    def doc_to_target(self, doc):
+        ...
+
+    def fewshot_description(self):
+        return ""
+
+    def fewshot_context(self, doc, num_fewshot, rnd):
+        description = self.fewshot_description()
+        description = description + "\n\n" if description else ""
+        if num_fewshot == 0:
+            labeled = ""
+        else:
+            if self.has_training_docs():
+                docs = self._fewshot_source(rnd, num_fewshot + 1)
+            else:
+                docs = list(self.validation_docs() or self.test_docs())
+                docs = rnd.sample(docs, num_fewshot + 1)
+            docs = [d for d in docs if d != doc][:num_fewshot]
+            labeled = "\n\n".join(
+                self.doc_to_text(d) + self.doc_to_target(d) for d in docs
+            ) + "\n\n"
+        return description + labeled + self.doc_to_text(doc)
+
+    def _fewshot_source(self, rnd, k):
+        if self._training_docs is None:
+            self._training_docs = list(self.training_docs())
+        return rnd.sample(self._training_docs, k)
+
+    # scoring --------------------------------------------------------------
+    @abc.abstractmethod
+    def construct_requests(self, doc, ctx):
+        ...
+
+    @abc.abstractmethod
+    def process_results(self, doc, results):
+        ...
+
+    @abc.abstractmethod
+    def aggregation(self):
+        ...
+
+    @abc.abstractmethod
+    def higher_is_better(self):
+        ...
+
+
+class MultipleChoiceTask(Task):
+    """acc + length-normalized acc_norm (reference lm_eval/base.py:645-678)."""
+
+    def doc_to_target(self, doc):
+        return " " + doc["choices"][doc["gold"]]
+
+    def construct_requests(self, doc, ctx):
+        return [
+            rf.loglikelihood(ctx, " {}".format(choice))[0]
+            for choice in doc["choices"]
+        ]
+
+    def process_results(self, doc, results):
+        gold = doc["gold"]
+        acc = 1.0 if np.argmax(results) == gold else 0.0
+        completion_len = np.array(
+            [float(len(i)) for i in doc["choices"]])
+        acc_norm = 1.0 if np.argmax(results / completion_len) == gold else 0.0
+        return {"acc": acc, "acc_norm": acc_norm}
+
+    def aggregation(self):
+        from .metrics import mean
+
+        return {"acc": mean, "acc_norm": mean}
+
+    def higher_is_better(self):
+        return {"acc": True, "acc_norm": True}
+
+
+class PerplexityTask(Task):
+    """Word/byte perplexity over rolling windows
+    (reference lm_eval/base.py:681-780)."""
+
+    def has_training_docs(self):
+        return False
+
+    def fewshot_context(self, doc, num_fewshot, rnd):
+        assert num_fewshot == 0, "perplexity tasks have no fewshot"
+        return ""
+
+    def doc_to_text(self, doc):
+        return ""
+
+    def doc_to_target(self, doc):
+        return doc
+
+    def construct_requests(self, doc, ctx):
+        assert not ctx
+        return [rf.loglikelihood_rolling(self.doc_to_target(doc))[0]]
+
+    def process_results(self, doc, results):
+        (loglikelihood,) = results
+        words = self.count_words(doc)
+        bytes_ = self.count_bytes(doc)
+        return {
+            "word_perplexity": (loglikelihood, words),
+            "byte_perplexity": (loglikelihood, bytes_),
+            "bits_per_byte": (loglikelihood, bytes_),
+        }
+
+    def aggregation(self):
+        from .metrics import bits_per_byte, weighted_perplexity
+
+        return {
+            "word_perplexity": weighted_perplexity,
+            "byte_perplexity": weighted_perplexity,
+            "bits_per_byte": bits_per_byte,
+        }
+
+    def higher_is_better(self):
+        return {"word_perplexity": False, "byte_perplexity": False,
+                "bits_per_byte": False}
+
+    @classmethod
+    def count_bytes(cls, doc):
+        return len(doc.encode("utf-8"))
+
+    @classmethod
+    def count_words(cls, doc):
+        return len(re.split(r"\s+", doc))

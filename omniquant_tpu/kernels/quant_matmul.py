@@ -1,0 +1,193 @@
+"""Fused packed-int dequant + matmul Pallas kernels (W2/W3/W4/W8 × A16).
+
+The TPU-native replacement for the reference's AutoGPTQ CUDA QuantLinear
+(quantize/omniquant.py:255-277 packs; the CUDA kernel dequantizes
+in-register and matmuls). Design notes:
+
+  * Weights live in HBM as packed int32 in the tile-local planar W^T layout
+    (quant/packing.py). One K tile = one pack tile: the kernel unpacks it
+    with vpw *static* 2-D shift/mask ops and a single sublane concatenate —
+    a pattern Mosaic vectorizes cleanly (the naive word-interleaved unpack's
+    3-D broadcast stalls the compiler).
+  * Decode-time GEMMs (M small) are HBM-bandwidth-bound on the weights, so
+    streaming ~n_bits/16 of the bf16 bytes is the speedup mechanism; the
+    VPU unpack overlaps the MXU's consumption of the previous tile via
+    pallas' grid pipeline.
+  * Grid is (N tiles, K tiles), K innermost ("arbitrary" semantics) with a
+    VMEM f32 accumulator; x is re-read per N tile (cheap: M is small).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..quant.packing import PackedWeight, pack_tile, vals_per_word
+
+
+def _unpack_tile(qw, bits: int):
+    """(tile//vpw, bn) packed words -> (tile, bn) int32 codes.
+
+    vpw static 2-D shift/mask ops + one concatenate along sublanes; row
+    order matches the tile-local planar layout (plane p = rows
+    [p*tile/vpw, (p+1)*tile/vpw))."""
+    vpw = vals_per_word(bits)
+    mask = jnp.uint32(2**bits - 1)
+    u = pltpu.bitcast(qw, jnp.uint32)
+    planes = [
+        ((u >> jnp.uint32(bits * p)) & mask).astype(jnp.int32)
+        for p in range(vpw)
+    ]
+    return jnp.concatenate(planes, axis=0)
+
+
+def _qmm_kernel(x_ref, qw_ref, sc_ref, zp_ref, out_ref, acc_ref,
+                *, bits: int, bk: int, bn: int, gs_rows: int,
+                grouped: bool, out_dtype):
+    nk = pl.num_programs(1)
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    xv = x_ref[:]
+    codes = _unpack_tile(qw_ref[:], bits)  # (bk, bn) int32
+    n_g = bk // gs_rows
+    # sc/off blocks are (1, ngp, bn) host-side per-K-tile slabs (ngp = n_g
+    # rounded up to 8 sublanes); off = -zero*scale precomputed so dequant is
+    # a single fma per element. Dequant runs in the input dtype (bf16 in
+    # serving — codes <= 255 are exact in bf16; measured ~40% faster than
+    # f32 dequant on v5e).
+    sc = sc_ref[0, :n_g, :]
+    off = zp_ref[0, :n_g, :]
+    codes_g = codes.reshape(n_g, gs_rows, bn).astype(xv.dtype)
+    w = codes_g * sc[:, None, :] + off[:, None, :]
+    w = w.reshape(bk, bn)
+    acc_ref[:] += jnp.dot(xv, w, preferred_element_type=jnp.float32)
+
+    @pl.when(k == nk - 1)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("bits", "group_size", "out_features", "block_n",
+                     "interpret"),
+)
+def _qmm_call(x, qweight, scales_t, zeros_t, bits, group_size,
+              out_features, block_n, interpret):
+    m, k = x.shape
+    vpw = vals_per_word(bits)
+    bk = pack_tile(bits, group_size)  # one K tile == one pack tile
+    k_pad = qweight.shape[0] * vpw
+    assert k_pad % bk == 0, (k_pad, bk)
+    if k_pad != k:
+        x = jnp.pad(x, ((0, 0), (0, k_pad - k)))
+    n = out_features
+    bn = block_n
+    gs_rows = group_size if group_size else bk
+    nk = k_pad // bk
+    grid = (n // bn, nk)
+
+    # reshape scales / (-zero*scale) offsets into per-K-tile slabs
+    # (nk, ngp, n): slab j holds the groups of K tile j, sublane-padded to 8
+    n_g = bk // gs_rows
+    ngp = -(-n_g // 8) * 8
+    def to_slabs(a):
+        if group_size:
+            g_needed = nk * n_g
+            if a.shape[0] < g_needed:  # layout padding rows: finite junk ok
+                a = jnp.concatenate(
+                    [a, jnp.repeat(a[-1:], g_needed - a.shape[0], 0)])
+            a = a.reshape(nk, n_g, n)
+        else:
+            a = jnp.broadcast_to(a[None], (nk, 1, n))
+        return jnp.pad(a, ((0, 0), (0, ngp - n_g), (0, 0))).astype(x.dtype)
+
+    offsets_t = -zeros_t * scales_t
+    scales_t = to_slabs(scales_t)
+    offsets_t = to_slabs(offsets_t)
+
+    kernel = functools.partial(
+        _qmm_kernel, bits=bits, bk=bk, bn=bn, gs_rows=gs_rows,
+        grouped=bool(group_size), out_dtype=x.dtype)
+
+    sc_spec = pl.BlockSpec(
+        (1, ngp, bn), lambda i, j: (j, 0, i), memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((m, bk), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // vpw, bn), lambda i, j: (j, i),
+                         memory_space=pltpu.VMEM),
+            sc_spec,
+            sc_spec,
+        ],
+        out_specs=pl.BlockSpec((m, bn), lambda i, j: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
+        scratch_shapes=[pltpu.VMEM((m, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * k_pad * n,
+            bytes_accessed=(qweight.size * 4 + x.size * x.dtype.itemsize
+                            + m * n * x.dtype.itemsize),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, qweight, scales_t, offsets_t)
+    return out
+
+
+def quant_matmul(x: jax.Array, pw: PackedWeight, block_n: int = 1024,
+                 interpret: Optional[bool] = None) -> jax.Array:
+    """y = x @ dequant(pw) (+ bias). x: (..., in_features_logical).
+
+    Zero-pads x's contraction dim to the packed length (packing pads
+    in-features up to the layout tile). On the CPU backend the kernel runs
+    in interpret mode automatically (pallas has no compiled CPU path)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    orig_shape = x.shape
+    m = 1
+    for d in orig_shape[:-1]:
+        m *= d
+    n = pw.out_features
+    # fall back to the dense-dequant path when N doesn't tile onto lanes
+    if n % 128 != 0:
+        return quant_matmul_reference(x, pw).reshape(*orig_shape[:-1], n)
+    bn = next(b for b in (block_n, 1024, 512, 256, 128) if n % b == 0)
+    x2 = x.reshape(m, orig_shape[-1])
+    scales_t = pw.scales.T.astype(jnp.float32)  # (G, out)
+    zeros_t = pw.zeros.T.astype(jnp.float32)
+    y = _qmm_call(
+        x2, pw.qweight, scales_t, zeros_t,
+        bits=pw.bits, group_size=pw.group_size,
+        out_features=pw.out_features, block_n=bn, interpret=interpret)
+    if pw.bias is not None:
+        y = y + pw.bias.astype(y.dtype)
+    return y.reshape(*orig_shape[:-1], pw.out_features)
+
+
+def quant_matmul_reference(x: jax.Array, pw: PackedWeight) -> jax.Array:
+    """jnp reference implementation (no pallas) for validation."""
+    from ..quant.packing import dequantize_packed
+
+    w = dequantize_packed(pw, dtype=jnp.float32)  # (in, out)
+    pad = w.shape[0] - x.shape[-1]
+    if pad:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    y = jnp.einsum("...k,kn->...n", x.astype(jnp.float32), w).astype(x.dtype)
+    if pw.bias is not None:
+        y = y + pw.bias.astype(y.dtype)
+    return y

@@ -52,11 +52,19 @@ def maybe_quant(x: jax.Array, cfg: Optional[QuantConfig]) -> jax.Array:
     return fake_quant_act(x, cfg)
 
 
-def linear(x: jax.Array, fc: dict, act_cfg: Optional[QuantConfig] = None):
+def linear(x: jax.Array, fc, act_cfg: Optional[QuantConfig] = None):
     """Quantized-linear forward (reference quantize/int_linear.py:48-62):
     optionally fake-quant the input per-token, then x @ W.T + b. The weight
-    is whatever the caller put in `fc` (raw / LET-transformed / fake-quant)."""
+    is whatever the caller put in `fc` (raw / LET-transformed / fake-quant),
+    or a PackedWeight — then the fused Pallas dequant-matmul runs instead,
+    so the same model code serves both fake-quant eval and packed serving."""
+    from ..quant.packing import PackedWeight
+
     x = maybe_quant(x, act_cfg)
+    if isinstance(fc, PackedWeight):
+        from ..kernels.quant_matmul import quant_matmul
+
+        return quant_matmul(x, fc)
     y = x @ fc["weight"].T
     b = fc.get("bias")
     if b is not None:

@@ -1,0 +1,7 @@
+from .sharding import (
+    make_mesh,
+    block_specs,
+    model_specs,
+    shard_params,
+    to_shardings,
+)

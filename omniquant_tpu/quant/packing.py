@@ -8,14 +8,16 @@ AutoGPTQ's CUDA format:
   * Weights are stored transposed, as W^T with shape (in, out): `out` rides
     the 128-wide lane dimension and the contraction axis is the sublane axis,
     so a Pallas kernel can unpack a block and feed the MXU without transposes.
-  * 2- and 4-bit: `vals_per_word = 32 // bits` consecutive rows of W^T are
-    packed into one int32 (codes[i, k] lives in bits [bits*k, bits*(k+1))
-    of word [i // vpw, :] with k = i % vpw). Unpacking is a shift+mask
-    broadcast followed by a contiguous reshape — no gathers, no transposes.
+  * Tile-local planar bit layout: rows are packed in tiles of `tile_k` rows
+    (a multiple of vals_per_word*8 sublanes and of the group size). Within a
+    tile, word w's bit-slot p holds row p*(tile_k/vpw) + w. The kernel then
+    unpacks one tile with vpw *static 2-D* shift/mask ops and a single
+    sublane concatenate — no 3-D intermediates, no gathers, no transposes
+    (the word-interleaved layout's unpack pattern stalls the Mosaic
+    compiler; this one compiles in <1s and vectorizes cleanly).
   * 3-bit: 10 values per int32 (30 used bits, 2 pad). This deliberately
     avoids AutoGPTQ's word-boundary-crossing 3-bit layout, which cannot be
-    unpacked with uniform vector ops. Rows are zero-padded to a multiple
-    of 10.
+    unpacked with uniform vector ops.
 
 Scales/zero-points are per-group along the in-features axis (group_size) or
 per output channel, stored as (out, n_groups) f32 — the transpose-free layout
@@ -36,11 +38,25 @@ def vals_per_word(bits: int) -> int:
     return {2: 16, 3: 10, 4: 8, 8: 4}[bits]
 
 
+def pack_tile(bits: int, group_size: Optional[int]) -> int:
+    """Layout tile size (rows of W^T per planar pack tile): a multiple of
+    vals_per_word*8 (so each plane chunk fills whole sublanes) and of the
+    group size (so quant groups never straddle tiles), scaled to >=512 rows
+    so the matmul kernel's K steps stay coarse."""
+    import math
+
+    base = vals_per_word(bits) * 8
+    if group_size:
+        base = base * group_size // math.gcd(base, group_size)
+    return base * max(1, 512 // base)
+
+
 @dataclasses.dataclass
 class PackedWeight:
     """A packed quantized linear weight.
 
-    qweight: int32 (ceil(in_padded / vpw), out) — packed W^T codes
+    qweight: int32 (k_pad / vpw, out) — planar-packed W^T codes, where
+             k_pad = in_features rounded up to tile_k
     scales:  (out, n_groups) f32
     zeros:   (out, n_groups) f32 — *rounded* zero points (reference keeps
              round_zero_point; dequant is (q - zero) * scale)
@@ -55,6 +71,14 @@ class PackedWeight:
     group_size: Optional[int]
     in_features: int
     out_features: int
+
+    @property
+    def tile_k(self) -> int:
+        return pack_tile(self.bits, self.group_size)
+
+    @property
+    def k_pad(self) -> int:
+        return self.qweight.shape[0] * vals_per_word(self.bits)
 
     def tree_flatten(self):
         return (
@@ -77,34 +101,43 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def pack_codes(codes: jax.Array, bits: int) -> jax.Array:
-    """Pack int codes (out, in) -> int32 (ceil(in_pad/vpw), out) in W^T layout."""
+def pack_codes(codes: jax.Array, bits: int,
+               group_size: Optional[int] = None) -> jax.Array:
+    """Pack int codes (out, in) -> int32 (k_pad/vpw, out), tile-local planar.
+
+    Row r = tile j*T + plane p*(T/vpw) + w lives in bit-slot p of word
+    (j*(T/vpw) + w). Codes are zero-padded up to k_pad = roundup(in, T)."""
     out_f, in_f = codes.shape
     vpw = vals_per_word(bits)
+    tile = pack_tile(bits, group_size)
     codes_t = codes.T.astype(jnp.uint32)  # (in, out)
-    pad = (-in_f) % vpw
+    pad = (-in_f) % tile
     if pad:
         codes_t = jnp.pad(codes_t, ((0, pad), (0, 0)))
-    n_words = codes_t.shape[0] // vpw
-    # (n_words, vpw, out): word w packs rows w*vpw .. w*vpw+vpw-1
-    grouped = codes_t.reshape(n_words, vpw, out_f)
-    shifts = (bits * jnp.arange(vpw, dtype=jnp.uint32))[None, :, None]
+    k_pad = codes_t.shape[0]
+    plane = tile // vpw
+    # (n_tiles, vpw, plane, out): row j*tile + p*plane + w
+    grouped = codes_t.reshape(k_pad // tile, vpw, plane, out_f)
+    shifts = (bits * jnp.arange(vpw, dtype=jnp.uint32))[None, :, None, None]
     packed = jnp.sum(grouped << shifts, axis=1, dtype=jnp.uint32)
-    return packed.astype(jnp.int32)
+    return packed.reshape(k_pad // vpw, out_f).astype(jnp.int32)
 
 
-def unpack_codes(packed: jax.Array, bits: int, in_features: int) -> jax.Array:
-    """Unpack int32 (n_words, out) -> codes (in_features, out) [W^T layout].
+def unpack_codes(packed: jax.Array, bits: int, in_features: int,
+                 group_size: Optional[int] = None) -> jax.Array:
+    """Unpack int32 (k_pad/vpw, out) -> codes (in_features, out) [W^T layout].
 
-    Pure jnp; the Pallas kernels inline the same shift/mask/reshape sequence.
-    """
+    Pure jnp; the Pallas kernels inline the per-tile variant (vpw static 2-D
+    shift/mask ops + one concatenate)."""
     n_words, out_f = packed.shape
     vpw = vals_per_word(bits)
+    tile = pack_tile(bits, group_size)
+    plane = tile // vpw
     mask = jnp.uint32(2**bits - 1)
-    p = packed.astype(jnp.uint32)
-    shifts = (bits * jnp.arange(vpw, dtype=jnp.uint32))[None, :, None]
-    vals = (p[:, None, :] >> shifts) & mask  # (n_words, vpw, out)
-    return vals.reshape(n_words * vpw, out_f)[:in_features].astype(jnp.int32)
+    p = packed.astype(jnp.uint32).reshape(-1, plane, out_f)  # (n_tiles, ...)
+    shifts = (bits * jnp.arange(vpw, dtype=jnp.uint32))[None, :, None, None]
+    vals = (p[:, None] >> shifts) & mask  # (n_tiles, vpw, plane, out)
+    return vals.reshape(-1, out_f)[:in_features].astype(jnp.int32)
 
 
 def pack_weight(
@@ -137,7 +170,7 @@ def pack_weight(
     scales = scale.reshape(out_f, -1).astype(jnp.float32)
     zeros = rzp.reshape(out_f, -1).astype(jnp.float32)
     return PackedWeight(
-        qweight=pack_codes(codes, cfg.n_bits),
+        qweight=pack_codes(codes, cfg.n_bits, cfg.group_size),
         scales=scales,
         zeros=zeros,
         bias=bias,
@@ -151,7 +184,8 @@ def pack_weight(
 def dequantize_packed(pw: PackedWeight, dtype=jnp.float32) -> jax.Array:
     """PackedWeight -> dense W^T (in_features, out) — the jnp reference path
     the Pallas kernel is validated against bit-for-bit on the int domain."""
-    codes = unpack_codes(pw.qweight, pw.bits, pw.in_features)  # (in, out)
+    codes = unpack_codes(
+        pw.qweight, pw.bits, pw.in_features, pw.group_size)  # (in, out)
     if pw.group_size:
         n_groups = pw.scales.shape[1]
         # group g covers rows [g*gs, (g+1)*gs)

@@ -1,0 +1,94 @@
+"""Pallas quant-matmul kernel validation (interpret mode on CPU).
+
+Each kernel is validated bit-for-bit on the int domain against the jnp
+reference path (SURVEY.md §7 stage 6 requirement).
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from omniquant_tpu.kernels.quant_matmul import (
+    quant_matmul,
+    quant_matmul_reference,
+)
+from omniquant_tpu.quant import QuantConfig, pack_weight
+
+
+def make_packed(bits, group_size, out_f, in_f, seed=0, bias=False):
+    rng = np.random.default_rng(seed)
+    w = jnp.asarray(rng.standard_normal((out_f, in_f)).astype(np.float32))
+    b = (jnp.asarray(rng.standard_normal(out_f).astype(np.float32))
+         if bias else None)
+    cfg = QuantConfig(n_bits=bits, group_size=group_size)
+    return pack_weight(w, cfg, bias=b)
+
+
+@pytest.mark.parametrize("bits,group_size", [
+    (4, 128), (4, None), (2, 128), (3, 128), (8, 128), (3, None),
+])
+def test_kernel_matches_reference(bits, group_size):
+    pw = make_packed(bits, group_size, out_f=256, in_f=512, seed=bits)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((4, 512)).astype(np.float32))
+    ref = quant_matmul_reference(x, pw)
+    got = quant_matmul(x, pw, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-4)
+
+
+def test_kernel_3bit_nondivisible_k():
+    """K=520: 3-bit words hold 10 vals, 52 words; unit lcm(80,128)=640 forces
+    word+x padding paths."""
+    pw = make_packed(3, 128 if False else None, out_f=128, in_f=520, seed=7)
+    # use group_size=None first, then a grouped case with deficiency-free K
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((2, 520)).astype(np.float32))
+    ref = quant_matmul_reference(x, pw)
+    got = quant_matmul(x, pw, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-4)
+
+
+def test_kernel_bias_and_3d_input():
+    pw = make_packed(4, 64, out_f=128, in_f=256, bias=True)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 3, 256)).astype(np.float32))
+    ref = quant_matmul_reference(x, pw)
+    got = quant_matmul(x, pw, interpret=True)
+    assert got.shape == (2, 3, 128)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-4)
+
+
+def test_kernel_bf16_input():
+    """bf16 inputs dequantize in bf16 (serving fast path): compare against
+    a bf16-dequant reference, not the f32 one."""
+    from omniquant_tpu.quant.packing import dequantize_packed
+
+    pw = make_packed(4, 128, out_f=256, in_f=512)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((4, 512)), jnp.bfloat16)
+    got = quant_matmul(x, pw, interpret=True)
+    assert got.dtype == jnp.bfloat16
+    # replicate the kernel's bf16 dequant factorization: codes*sc + (-zp*sc)
+    from omniquant_tpu.quant.packing import unpack_codes
+
+    codes = unpack_codes(pw.qweight, pw.bits, pw.in_features, pw.group_size)
+    gid = np.arange(pw.in_features) // pw.group_size
+    sc = pw.scales.T[gid].astype(jnp.bfloat16)  # (in, out)
+    off = (-pw.zeros * pw.scales).T[gid].astype(jnp.bfloat16)
+    w = (codes.astype(jnp.bfloat16) * sc + off).astype(jnp.float32)
+    ref = x.astype(jnp.float32) @ w
+    np.testing.assert_allclose(
+        np.asarray(got, dtype=np.float32), np.asarray(ref),
+        rtol=2e-2, atol=2e-1)
+
+
+def test_kernel_fallback_odd_n():
+    """out_features not a multiple of 128 falls back to the dense path."""
+    pw = make_packed(4, 64, out_f=100, in_f=256)
+    x = jnp.ones((2, 256), jnp.float32)
+    got = quant_matmul(x, pw)
+    ref = quant_matmul_reference(x, pw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5)

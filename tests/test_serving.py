@@ -1,0 +1,125 @@
+"""Serving engine tests: logits-equivalence vs the eval-path model
+(the correctness oracle from SURVEY.md §7 'hard parts'), continuous
+batching, int8 KV cache, and packed-weight serving."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from omniquant_tpu.models import llama as jllama
+from omniquant_tpu.serving.engine import LlamaEngine
+from omniquant_tpu.serving.export import pack_model
+from omniquant_tpu.models import LLAMA
+from omniquant_tpu.quant import QuantConfig
+
+
+@pytest.fixture(scope="module")
+def tiny_llama():
+    cfg = jllama.LlamaConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128,
+    )
+    params = jllama.init_params(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def greedy_reference(params, cfg, prompt, n):
+    toks = jnp.asarray(np.asarray(prompt, np.int32)[None])
+    out = []
+    for _ in range(n):
+        logits = jllama.forward(
+            params, toks, cfg)  # f32 model
+        nxt = int(jnp.argmax(logits[0, -1]))
+        out.append(nxt)
+        toks = jnp.concatenate([toks, jnp.asarray([[nxt]])], axis=1)
+    return out
+
+
+def test_engine_matches_full_forward(tiny_llama):
+    cfg, params = tiny_llama
+    eng = LlamaEngine(params, cfg, max_batch=2, max_len=64, dtype=jnp.float32)
+    prompt = [5, 17, 99, 3]
+    got = eng.generate(prompt, max_new_tokens=8)
+    ref = greedy_reference(params, cfg, prompt, 8)
+    assert got == ref, (got, ref)
+
+
+def test_engine_bf16_close(tiny_llama):
+    cfg, params = tiny_llama
+    eng = LlamaEngine(params, cfg, max_batch=2, max_len=64, dtype=jnp.bfloat16)
+    prompt = [5, 17, 99, 3]
+    got = eng.generate(prompt, max_new_tokens=8)
+    ref = greedy_reference(params, cfg, prompt, 8)
+    # bf16 may diverge on near-ties; require the first few tokens to agree
+    assert got[:3] == ref[:3], (got, ref)
+
+
+def test_engine_int8_kv(tiny_llama):
+    cfg, params = tiny_llama
+    eng = LlamaEngine(params, cfg, max_batch=2, max_len=64,
+                      dtype=jnp.float32, kv_dtype="int8")
+    prompt = [5, 17, 99, 3]
+    got = eng.generate(prompt, max_new_tokens=8)
+    ref = greedy_reference(params, cfg, prompt, 8)
+    # int8 KV is lossy; prefix should still match for a tiny model
+    assert got[:4] == ref[:4], (got, ref)
+
+
+def test_engine_continuous_batching(tiny_llama):
+    """Two interleaved requests produce the same tokens as run alone."""
+    cfg, params = tiny_llama
+    eng = LlamaEngine(params, cfg, max_batch=2, max_len=64, dtype=jnp.float32)
+
+    p1, p2 = [5, 17, 99], [42, 7]
+    ref1 = greedy_reference(params, cfg, p1, 5)
+    ref2 = greedy_reference(params, cfg, p2, 5)
+
+    s1 = eng.add_request(p1)
+    t1 = eng._pending_next[s1]
+    out1 = [t1]
+    # advance request 1 by two steps before request 2 arrives
+    for _ in range(2):
+        t1 = eng.step({s1: t1})[s1]
+        out1.append(t1)
+    s2 = eng.add_request(p2)
+    t2 = eng._pending_next[s2]
+    out2 = [t2]
+    for _ in range(2):
+        res = eng.step({s1: t1, s2: t2})
+        t1, t2 = res[s1], res[s2]
+        out1.append(t1)
+        out2.append(t2)
+    for _ in range(2):
+        t2 = eng.step({s2: t2})[s2]
+        out2.append(t2)
+    assert out1 == ref1, (out1, ref1)
+    assert out2 == ref2, (out2, ref2)
+
+
+def test_engine_packed_weights(tiny_llama):
+    """Serving from PackedWeight params matches serving from the fake-quant
+    dense params (same integer grid)."""
+    cfg, params = tiny_llama
+    wcfg = QuantConfig(n_bits=4, group_size=16)
+    fq = {k: v for k, v in params.items()}
+    fq["layers"] = [
+        LLAMA.effective_block_weights(b, wcfg, None, None, cfg)
+        for b in params["layers"]
+    ]
+    packed = pack_model(LLAMA, fq, wcfg)
+    prompt = [5, 17, 99, 3]
+    eng_fq = LlamaEngine(fq, cfg, max_batch=1, max_len=64, dtype=jnp.float32)
+    eng_pk = LlamaEngine(packed, cfg, max_batch=1, max_len=64,
+                         dtype=jnp.float32)
+    got_fq = eng_fq.generate(prompt, max_new_tokens=6)
+    got_pk = eng_pk.generate(prompt, max_new_tokens=6)
+    assert got_fq == got_pk, (got_fq, got_pk)
+
+
+def test_slot_exhaustion_raises(tiny_llama):
+    cfg, params = tiny_llama
+    eng = LlamaEngine(params, cfg, max_batch=1, max_len=32, dtype=jnp.float32)
+    eng.add_request([1, 2, 3])
+    with pytest.raises(RuntimeError, match="no free slots"):
+        eng.add_request([4, 5])
