@@ -74,6 +74,9 @@ TINY_CONFIGS = {
     "tiny-llama": dict(vocab_size=256, hidden_size=64, intermediate_size=128,
                        num_hidden_layers=2, num_attention_heads=4,
                        num_key_value_heads=2, max_position_embeddings=2048),
+    "tiny-falcon": dict(vocab_size=256, hidden_size=64, num_hidden_layers=2,
+                        num_attention_heads=4, multi_query=True,
+                        parallel_attn=True),
 }
 
 

@@ -203,6 +203,10 @@ def calibrate(
                 smoothed[name]["weight"] = fake_quant_weight(w, wcfg, lw)
         return jax.lax.stop_gradient((smoothed, qparams))
 
+    if cc.let and not family.supports_let:
+        log(f"WARNING: {family.name} does not support LET "
+            "(reference is LWC-only for this family); proceeding without it")
+
     omni_parameters = {}
     if cc.resume:
         loaded = load_pytree(cc.resume)

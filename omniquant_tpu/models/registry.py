@@ -7,7 +7,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, Callable, Optional
 
-from . import llama, opt
+from . import falcon, llama, opt
 
 
 @dataclasses.dataclass(frozen=True)
@@ -61,7 +61,24 @@ OPT = ModelFamily(
     let_scale_keys=("q_proj", "fc1", "out_proj"),
 )
 
-FAMILIES = {"llama": LLAMA, "opt": OPT}
+FALCON = ModelFamily(
+    name="falcon",
+    config_cls=falcon.FalconConfig,
+    linear_names=falcon.LINEAR_NAMES,
+    block_forward=falcon.block_forward,
+    effective_block_weights=falcon.effective_block_weights,
+    init_let_params=falcon.init_let_params,
+    init_lwc_params_block=falcon.init_lwc_params_block,
+    init_params=falcon.init_params,
+    from_hf_state_dict=falcon.from_hf_state_dict,
+    embed=falcon.embed,
+    head=falcon.head,
+    forward=falcon.forward,
+    let_scale_keys=(),
+    supports_let=False,  # reference int_falcon_layer.py:330-331 raises too
+)
+
+FAMILIES = {"llama": LLAMA, "opt": OPT, "falcon": FALCON}
 
 
 def get_family(net_or_model_name: str) -> ModelFamily:
@@ -72,7 +89,9 @@ def get_family(net_or_model_name: str) -> ModelFamily:
         return LLAMA
     if "opt" in low:
         return OPT
+    if "falcon" in low:
+        return FALCON
     raise ValueError(
         f"unsupported model family for '{net_or_model_name}' "
-        "(supported: llama, opt)"
+        "(supported: llama, opt, falcon)"
     )

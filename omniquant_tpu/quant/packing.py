@@ -186,13 +186,15 @@ def dequantize_packed(pw: PackedWeight, dtype=jnp.float32) -> jax.Array:
     the Pallas kernel is validated against bit-for-bit on the int domain."""
     codes = unpack_codes(
         pw.qweight, pw.bits, pw.in_features, pw.group_size)  # (in, out)
+    out_f = codes.shape[1]
     if pw.group_size:
-        n_groups = pw.scales.shape[1]
-        # group g covers rows [g*gs, (g+1)*gs)
-        gid = jnp.arange(pw.in_features) // pw.group_size
-        scales_t = pw.scales.T[gid]  # (in, out)
-        zeros_t = pw.zeros.T[gid]
+        # reshape-broadcast per group (a per-row gather compiles/runs
+        # pathologically on TPU at size)
+        n_g = pw.in_features // pw.group_size
+        cg = codes.reshape(n_g, pw.group_size, out_f).astype(jnp.float32)
+        sc = pw.scales.T[:, None, :]  # (G, 1, out)
+        zp = pw.zeros.T[:, None, :]
+        deq = ((cg - zp) * sc).reshape(pw.in_features, out_f)
     else:
-        scales_t = jnp.broadcast_to(pw.scales.T, codes.shape)
-        zeros_t = jnp.broadcast_to(pw.zeros.T, codes.shape)
-    return ((codes.astype(jnp.float32) - zeros_t) * scales_t).astype(dtype)
+        deq = (codes.astype(jnp.float32) - pw.zeros.T) * pw.scales.T
+    return deq.astype(dtype)
