@@ -58,6 +58,8 @@ def build_parser():
     p.add_argument("--aug_loss", default=False, action="store_true")
     p.add_argument("--symmetric", default=False, action="store_true")
     p.add_argument("--limit", type=int, default=-1)
+    p.add_argument("--offload_layers", action="store_true",
+                   help="host-stream decoder layers during calibration (one on device at a time)")
     p.add_argument("--bf16_buffers", action="store_true",
                    help="store calibration activations in bfloat16")
     p.add_argument("--act-scales", dest="act_scales", type=str, default=None)
@@ -148,7 +150,7 @@ def main(argv=None):
         symmetric=args.symmetric, lwc=args.lwc, let=args.let,
         alpha=args.alpha, epochs=args.epochs, nsamples=args.nsamples,
         batch_size=args.batch_size, let_lr=args.let_lr, lwc_lr=args.lwc_lr,
-        wd=args.wd, aug_loss=args.aug_loss,
+        wd=args.wd, aug_loss=args.aug_loss, offload_layers=args.offload_layers,
         buffer_dtype=jnp.bfloat16 if args.bf16_buffers else jnp.float32,
         output_dir=args.output_dir, resume=args.resume,
     )

@@ -58,6 +58,9 @@ class CalibConfig:
     wd: float = 0.0
     aug_loss: bool = False
     buffer_dtype: Any = jnp.float32  # bf16 for 13B+ to halve activation memory
+    offload_layers: bool = False  # host-stream layers: one block on device at
+    # a time (the reference's CPU<->GPU layer streaming, omniquant.py:115-132,
+    # 248 — how falcon-180b calibrates on a single accelerator)
     output_dir: Optional[str] = None
     resume: Optional[str] = None
 
@@ -213,11 +216,26 @@ def calibrate(
         omni_parameters = {int(k): v for k, v in loaded.items()}
         log(f"resumed omni parameters for {len(omni_parameters)} layers")
 
+    import numpy as _np
+
     layers = params["layers"]
+    if cc.offload_layers:
+        # park every layer in host memory; stream one at a time below
+        layers = [
+            jax.tree.map(
+                lambda x: None if x is None else _np.asarray(x), b,
+                is_leaf=lambda x: x is None)
+            for b in layers
+        ]
+
     for i in range(len(layers)):
         t0 = time.time()
         log(f"=== Start quantize layer {i} ===")
         layer = layers[i]
+        if cc.offload_layers:
+            layer = jax.tree.map(
+                lambda x: None if x is None else jnp.asarray(x), layer,
+                is_leaf=lambda x: x is None)
 
         if cc.epochs > 0:
             fp_inps = fp_block_all(layer, fp_inps)  # in-place via donation (:170)
@@ -277,9 +295,15 @@ def calibrate(
             folded, qparams = fold_block(layer, trainable)
         else:
             folded, qparams = layer, {}
-        layers[i] = folded
         if cc.epochs > 0:
             quant_inps = quant_block_all(folded, quant_inps)
+        if cc.offload_layers:
+            # propagate first, then park the folded layer back on host
+            layers[i] = jax.tree.map(
+                lambda x: None if x is None else _np.asarray(x), folded,
+                is_leaf=lambda x: x is None)
+        else:
+            layers[i] = folded
         omni_parameters[i] = dict(trainable)
         if qparams:
             omni_parameters[i]["qparams"] = qparams

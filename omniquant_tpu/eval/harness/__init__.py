@@ -10,6 +10,7 @@ from .base import (
     make_disjoint_window,
     rf,
 )
+from .caching import CachingLM, DummyLM
 from .categories import mmlu_rollup, subcategories, categories
 from .evaluator import evaluate, get_task_dict, make_table, pattern_match, simple_evaluate
 from .tasks import TASK_REGISTRY

@@ -1,0 +1,4 @@
+python main.py \
+--model /PATH/TO/Llama-2-chat/Llama-2-13b-chat --eval_ppl \
+--output_dir ./log/Llama-2-13b-chat-w2a16g64 \
+--epochs 20 --wbits 2 --abits 16 --group_size 64 --lwc

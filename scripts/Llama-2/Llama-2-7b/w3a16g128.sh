@@ -1,0 +1,4 @@
+python main.py \
+--model /PATH/TO/Llama-2/Llama-2-7b --eval_ppl \
+--output_dir ./log/Llama-2-7b-w3a16g128 \
+--epochs 20 --wbits 3 --abits 16 --group_size 128 --lwc

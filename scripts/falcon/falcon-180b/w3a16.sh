@@ -1,0 +1,4 @@
+python main.py \
+--model /PATH/TO/falcon/falcon-180b --eval_ppl \
+--output_dir ./log/falcon-180b-w3a16 \
+--epochs 40 --wbits 3 --abits 16 --lwc --aug_loss --nsamples 32

@@ -1,0 +1,4 @@
+python main.py \
+--model /PATH/TO/falcon/falcon-180b --eval_ppl \
+--output_dir ./log/falcon-180b-w4a16g128 \
+--epochs 40 --wbits 4 --abits 16 --group_size 128 --lwc --aug_loss --nsamples 32

@@ -1,0 +1,4 @@
+python main.py \
+--model /PATH/TO/llama/llama-13b --eval_ppl \
+--output_dir ./log/llama-13b-w4a4 \
+--epochs 20 --wbits 4 --abits 4 --lwc --let --aug_loss

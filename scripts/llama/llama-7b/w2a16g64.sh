@@ -1,0 +1,4 @@
+python main.py \
+--model /PATH/TO/llama/llama-7b --eval_ppl \
+--output_dir ./log/llama-7b-w2a16g64 \
+--epochs 20 --wbits 2 --abits 16 --group_size 64 --lwc

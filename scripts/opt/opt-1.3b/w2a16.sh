@@ -1,0 +1,4 @@
+python main.py \
+--model /PATH/TO/opt/opt-1.3b --eval_ppl \
+--output_dir ./log/opt-1.3b-w2a16 \
+--epochs 20 --wbits 2 --abits 16 --lwc --let

@@ -1,0 +1,4 @@
+python main.py \
+--model /PATH/TO/opt/opt-1.3b --eval_ppl \
+--output_dir ./log/opt-1.3b-w6a6 \
+--epochs 20 --wbits 6 --abits 6 --lwc --let

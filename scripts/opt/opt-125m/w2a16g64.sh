@@ -1,0 +1,4 @@
+python main.py \
+--model /PATH/TO/opt/opt-125m --eval_ppl \
+--output_dir ./log/opt-125m-w2a16g64 \
+--epochs 20 --wbits 2 --abits 16 --group_size 64 --lwc --let

@@ -1,0 +1,4 @@
+python main.py \
+--model /PATH/TO/opt/opt-13b --eval_ppl \
+--output_dir ./log/opt-13b-w4a4 \
+--epochs 20 --wbits 4 --abits 4 --lwc --let

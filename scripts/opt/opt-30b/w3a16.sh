@@ -1,0 +1,4 @@
+python main.py \
+--model /PATH/TO/opt/opt-30b --eval_ppl \
+--output_dir ./log/opt-30b-w3a16 \
+--epochs 20 --wbits 3 --abits 16 --lwc --let

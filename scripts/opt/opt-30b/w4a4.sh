@@ -1,0 +1,4 @@
+python main.py \
+--model /PATH/TO/opt/opt-30b --eval_ppl \
+--output_dir ./log/opt-30b-w4a4 \
+--epochs 20 --wbits 4 --abits 4 --lwc --let

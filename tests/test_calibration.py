@@ -185,3 +185,19 @@ def test_llama_calibration_runs(calib_data):
     # LET fold materialized a bias on the RMSNorm (reference
     # models/transformation.py:78-80 behavior)
     assert qparams["layers"][0]["input_layernorm"].get("bias") is not None
+
+
+def test_offload_layers_matches_resident(tiny_opt, calib_data):
+    """Host-streamed calibration produces identical results to all-resident
+    (the reference's one-layer-on-GPU streaming, omniquant.py:115-132)."""
+    cfg, params = tiny_opt
+    train, _ = calib_data
+    base = CalibConfig(wbits=3, abits=16, group_size=16, lwc=True, epochs=2,
+                       nsamples=NSAMPLES, batch_size=2)
+    off = CalibConfig(wbits=3, abits=16, group_size=16, lwc=True, epochs=2,
+                      nsamples=NSAMPLES, batch_size=2, offload_layers=True)
+    q1, _ = calibrate(OPT, clone(params), cfg, train, base)
+    q2, _ = calibrate(OPT, clone(params), cfg, train, off)
+    np.testing.assert_allclose(
+        np.asarray(q1["layers"][1]["fc1"]["weight"]),
+        np.asarray(q2["layers"][1]["fc1"]["weight"]), atol=1e-6)
