@@ -78,13 +78,13 @@ def _qmm_kernel(x_ref, qw_ref, sc_ref, zp_ref, out_ref, acc_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("bits", "group_size", "out_features", "block_n",
-                     "interpret"),
+                     "tile_k", "interpret"),
 )
 def _qmm_call(x, qweight, scales_t, zeros_t, bits, group_size,
-              out_features, block_n, interpret):
+              out_features, block_n, tile_k, interpret):
     m, k = x.shape
     vpw = vals_per_word(bits)
-    bk = pack_tile(bits, group_size)  # one K tile == one pack tile
+    bk = tile_k  # one K tile == one pack tile (layout parameter)
     k_pad = qweight.shape[0] * vpw
     assert k_pad % bk == 0, (k_pad, bk)
     if k_pad != k:
@@ -173,7 +173,8 @@ def quant_matmul(x: jax.Array, pw: PackedWeight, block_n: int = 1024,
     y = _qmm_call(
         x2, pw.qweight, scales_t, zeros_t,
         bits=pw.bits, group_size=pw.group_size,
-        out_features=pw.out_features, block_n=bn, interpret=interpret)
+        out_features=pw.out_features, block_n=bn, tile_k=pw.tile_k,
+        interpret=interpret)
     if pw.bias is not None:
         y = y + pw.bias.astype(y.dtype)
     return y.reshape(*orig_shape[:-1], pw.out_features)

@@ -55,7 +55,8 @@ def _linear_spec(row_parallel: bool, sub):
         qweight=qw, scales=sc, zeros=sc,
         bias=b if sub.bias is not None else None,
         bits=sub.bits, group_size=sub.group_size,
-        in_features=sub.in_features, out_features=sub.out_features)
+        in_features=sub.in_features, out_features=sub.out_features,
+        tile_k=sub.tile_k)
 
 
 ROW_PARALLEL = {

@@ -38,17 +38,25 @@ def vals_per_word(bits: int) -> int:
     return {2: 16, 3: 10, 4: 8, 8: 4}[bits]
 
 
-def pack_tile(bits: int, group_size: Optional[int]) -> int:
-    """Layout tile size (rows of W^T per planar pack tile): a multiple of
-    vals_per_word*8 (so each plane chunk fills whole sublanes) and of the
-    group size (so quant groups never straddle tiles), scaled to >=512 rows
-    so the matmul kernel's K steps stay coarse."""
+def pack_tile(bits: int, group_size: Optional[int],
+              in_features: Optional[int] = None) -> int:
+    """Default layout tile size (rows of W^T per planar pack tile): a
+    multiple of vals_per_word*8 (so each plane chunk fills whole sublanes)
+    and of the group size (so quant groups never straddle tiles), scaled
+    toward 512 rows so the matmul kernel's K steps stay coarse — but not
+    past in_features (smaller matrices keep the base tile, minimizing
+    padding). Tensor-parallel packing may override with a smaller multiple
+    of the base so shards split on tile boundaries."""
     import math
 
     base = vals_per_word(bits) * 8
     if group_size:
         base = base * group_size // math.gcd(base, group_size)
-    return base * max(1, 512 // base)
+    scale = max(1, 512 // base)
+    if in_features is not None:
+        while scale > 1 and base * scale > in_features:
+            scale //= 2
+    return base * scale
 
 
 @dataclasses.dataclass
@@ -71,10 +79,12 @@ class PackedWeight:
     group_size: Optional[int]
     in_features: int
     out_features: int
+    tile_k: int = 0  # 0 => derive default from (bits, group_size, in)
 
-    @property
-    def tile_k(self) -> int:
-        return pack_tile(self.bits, self.group_size)
+    def __post_init__(self):
+        if not self.tile_k:
+            self.tile_k = pack_tile(
+                self.bits, self.group_size, self.in_features)
 
     @property
     def k_pad(self) -> int:
@@ -83,15 +93,14 @@ class PackedWeight:
     def tree_flatten(self):
         return (
             (self.qweight, self.scales, self.zeros, self.bias),
-            (self.bits, self.group_size, self.in_features, self.out_features),
+            (self.bits, self.group_size, self.in_features, self.out_features,
+             self.tile_k),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         qweight, scales, zeros, bias = children
-        bits, group_size, in_features, out_features = aux
-        return cls(qweight, scales, zeros, bias, bits, group_size,
-                   in_features, out_features)
+        return cls(qweight, scales, zeros, bias, *aux)
 
 
 jax.tree_util.register_pytree_node(
@@ -102,14 +111,15 @@ jax.tree_util.register_pytree_node(
 
 
 def pack_codes(codes: jax.Array, bits: int,
-               group_size: Optional[int] = None) -> jax.Array:
+               group_size: Optional[int] = None,
+               tile_k: Optional[int] = None) -> jax.Array:
     """Pack int codes (out, in) -> int32 (k_pad/vpw, out), tile-local planar.
 
     Row r = tile j*T + plane p*(T/vpw) + w lives in bit-slot p of word
     (j*(T/vpw) + w). Codes are zero-padded up to k_pad = roundup(in, T)."""
     out_f, in_f = codes.shape
     vpw = vals_per_word(bits)
-    tile = pack_tile(bits, group_size)
+    tile = tile_k or pack_tile(bits, group_size, in_f)
     codes_t = codes.T.astype(jnp.uint32)  # (in, out)
     pad = (-in_f) % tile
     if pad:
@@ -124,14 +134,15 @@ def pack_codes(codes: jax.Array, bits: int,
 
 
 def unpack_codes(packed: jax.Array, bits: int, in_features: int,
-                 group_size: Optional[int] = None) -> jax.Array:
+                 group_size: Optional[int] = None,
+                 tile_k: Optional[int] = None) -> jax.Array:
     """Unpack int32 (k_pad/vpw, out) -> codes (in_features, out) [W^T layout].
 
     Pure jnp; the Pallas kernels inline the per-tile variant (vpw static 2-D
     shift/mask ops + one concatenate)."""
     n_words, out_f = packed.shape
     vpw = vals_per_word(bits)
-    tile = pack_tile(bits, group_size)
+    tile = tile_k or pack_tile(bits, group_size, in_features)
     plane = tile // vpw
     mask = jnp.uint32(2**bits - 1)
     p = packed.astype(jnp.uint32).reshape(-1, plane, out_f)  # (n_tiles, ...)
@@ -147,6 +158,7 @@ def pack_weight(
     bias: Optional[jax.Array] = None,
     scale: Optional[jax.Array] = None,
     rzp: Optional[jax.Array] = None,
+    tile_k: Optional[int] = None,
 ) -> PackedWeight:
     """Quantize + pack a weight (out, in) into PackedWeight.
 
@@ -169,8 +181,9 @@ def pack_weight(
     # scale/rzp are (num_groups, 1); reshape to (out, n_groups)
     scales = scale.reshape(out_f, -1).astype(jnp.float32)
     zeros = rzp.reshape(out_f, -1).astype(jnp.float32)
+    tile = tile_k or pack_tile(cfg.n_bits, cfg.group_size, in_padded)
     return PackedWeight(
-        qweight=pack_codes(codes, cfg.n_bits, cfg.group_size),
+        qweight=pack_codes(codes, cfg.n_bits, cfg.group_size, tile),
         scales=scales,
         zeros=zeros,
         bias=bias,
@@ -178,6 +191,7 @@ def pack_weight(
         group_size=cfg.group_size,
         in_features=in_padded,
         out_features=out_f,
+        tile_k=tile,
     )
 
 
@@ -185,7 +199,8 @@ def dequantize_packed(pw: PackedWeight, dtype=jnp.float32) -> jax.Array:
     """PackedWeight -> dense W^T (in_features, out) — the jnp reference path
     the Pallas kernel is validated against bit-for-bit on the int domain."""
     codes = unpack_codes(
-        pw.qweight, pw.bits, pw.in_features, pw.group_size)  # (in, out)
+        pw.qweight, pw.bits, pw.in_features, pw.group_size,
+        pw.tile_k)  # (in, out)
     out_f = codes.shape[1]
     if pw.group_size:
         # reshape-broadcast per group (a per-row gather compiles/runs

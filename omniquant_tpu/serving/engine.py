@@ -38,6 +38,7 @@ def fuse_packed(pws: List[PackedWeight]) -> Optional[PackedWeight]:
     if not all(
         p.bits == first.bits and p.group_size == first.group_size
         and p.in_features == first.in_features
+        and p.tile_k == first.tile_k
         and p.qweight.shape[0] == first.qweight.shape[0]
         for p in pws
     ):
@@ -57,6 +58,7 @@ def fuse_packed(pws: List[PackedWeight]) -> Optional[PackedWeight]:
         bits=first.bits, group_size=first.group_size,
         in_features=first.in_features,
         out_features=sum(p.out_features for p in pws),
+        tile_k=first.tile_k,
     )
 
 

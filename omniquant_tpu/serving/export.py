@@ -24,6 +24,7 @@ def pack_model(
     params: dict,
     wcfg: QuantConfig,
     omni_parameters: Optional[dict] = None,
+    tile_k: Optional[int] = None,
 ) -> dict:
     """Returns {'layers': [{linear_name: PackedWeight}, ...], plus the
     non-layer params passed through unchanged}.
@@ -49,7 +50,8 @@ def pack_model(
                 if name in qp:
                     kw = {"scale": qp[name]["scale"], "rzp": qp[name]["zero"]}
                 pb[name] = pack_weight(
-                    sub["weight"], pack_cfg, bias=sub.get("bias"), **kw)
+                    sub["weight"], pack_cfg, bias=sub.get("bias"),
+                    tile_k=tile_k, **kw)
             else:
                 pb[name] = sub
         packed_layers.append(pb)

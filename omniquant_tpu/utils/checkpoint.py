@@ -32,7 +32,7 @@ def _flatten(tree: Any, prefix: str = "") -> dict:
             "zeros": tree.zeros, "bias": tree.bias,
             "meta": np.asarray([
                 tree.bits, tree.group_size or 0,
-                tree.in_features, tree.out_features]),
+                tree.in_features, tree.out_features, tree.tile_k]),
         }
         out.update(_flatten(body, prefix))
     elif isinstance(tree, dict):
@@ -62,11 +62,14 @@ def _unflatten(flat: dict) -> Any:
         from ..quant.packing import PackedWeight
 
         body = _unflatten({k: v for k, v in flat.items() if k != "__packed__"})
-        bits, gs, in_f, out_f = (int(x) for x in body["meta"])
+        meta = [int(x) for x in body["meta"]]
+        bits, gs, in_f, out_f = meta[:4]
+        tile = meta[4] if len(meta) > 4 else 0
         return PackedWeight(
             qweight=body["qweight"], scales=body["scales"],
             zeros=body["zeros"], bias=body["bias"], bits=bits,
-            group_size=gs or None, in_features=in_f, out_features=out_f)
+            group_size=gs or None, in_features=in_f, out_features=out_f,
+            tile_k=tile)
     if "__list__" in flat or "__tuple__" in flat:
         is_list = "__list__" in flat
         n = int(flat["__list__" if is_list else "__tuple__"])
