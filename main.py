@@ -58,6 +58,10 @@ def build_parser():
     p.add_argument("--aug_loss", default=False, action="store_true")
     p.add_argument("--symmetric", default=False, action="store_true")
     p.add_argument("--limit", type=int, default=-1)
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel degree for evaluation (the "
+                        "reference's --multigpu analog, but real TP over a "
+                        "device mesh with XLA collectives)")
     p.add_argument("--offload_layers", action="store_true",
                    help="host-stream decoder layers during calibration (one on device at a time)")
     p.add_argument("--bf16_buffers", action="store_true",
@@ -208,6 +212,14 @@ def main(argv=None):
                 family, params, cc.weight_quant_config, omni_parameters)
             save_pytree(f"{args.save_dir}/model_packed.npz", packed)
             logger.info("saved packed real-quant weights")
+
+    if args.tp > 1:
+        from omniquant_tpu.parallel import make_mesh, model_specs, shard_params
+
+        logger.info(f"sharding model tensor-parallel over {args.tp} devices")
+        mesh = make_mesh(dp=1, tp=args.tp)
+        params = shard_params(
+            params, mesh, model_specs(family.name, params))
 
     if args.eval_ppl:
         eval_sets = (["synthetic"] if args.synthetic

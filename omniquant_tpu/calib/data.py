@@ -121,13 +121,26 @@ def get_synthetic(nsamples, seed, seqlen, vocab_size=256, total_len=200_000,
     return sample_windows(train, nsamples, seed, seqlen), test[None]
 
 
+def get_pile(nsamples, seed, seqlen, tokenizer, data_files=None):
+    """reference datautils.py:16-32 (path made configurable instead of the
+    hardcoded private cluster file)."""
+    from datasets import load_dataset
+
+    data_files = data_files or "val.jsonl.zst"
+    train = load_dataset("json", data_files=data_files, split="train")
+    trainenc = _tokenize_join(train["text"][:1000], tokenizer)
+    return sample_windows(trainenc, nsamples, seed, seqlen), None
+
+
 def get_loaders(name: str, nsamples=128, seed=0, seqlen=2048, tokenizer=None,
-                vocab_size: int = 256):
+                vocab_size: int = 256, pile_data_files=None):
     """Dispatch mirroring reference get_loaders (datautils.py:174-195)."""
     if "synthetic" in name:
         return get_synthetic(nsamples, seed, seqlen, vocab_size)
     if tokenizer is None:
         raise ValueError(f"dataset '{name}' needs a tokenizer")
+    if "pile" in name:
+        return get_pile(nsamples, seed, seqlen, tokenizer, pile_data_files)
     if "wikitext2" in name:
         return get_wikitext2(nsamples, seed, seqlen, tokenizer)
     if "ptb" in name:

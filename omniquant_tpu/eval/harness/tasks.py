@@ -429,3 +429,167 @@ def build_task_registry():
 
 
 TASK_REGISTRY = build_task_registry()
+
+
+# ---------------------------------------------------------------------------
+# additional common zero-shot tasks
+# ---------------------------------------------------------------------------
+
+class OpenBookQA(MultipleChoiceTask):
+    DATASET_PATH = "openbookqa"
+    DATASET_NAME = "main"
+
+    def has_validation_docs(self):
+        return True
+
+    def has_test_docs(self):
+        return True
+
+    def validation_docs(self):
+        return map(self._convert, self.data["validation"])
+
+    def test_docs(self):
+        return map(self._convert, self.data["test"])
+
+    def _convert(self, doc):
+        return {
+            "query": doc["question_stem"],
+            "choices": doc["choices"]["text"],
+            "gold": ["A", "B", "C", "D"].index(doc["answerKey"].strip()),
+        }
+
+    def doc_to_text(self, doc):
+        return doc["query"]
+
+
+class SciQ(MultipleChoiceTask):
+    DATASET_PATH = "sciq"
+
+    def has_validation_docs(self):
+        return True
+
+    def has_test_docs(self):
+        return True
+
+    def validation_docs(self):
+        return map(self._convert, self.data["validation"])
+
+    def test_docs(self):
+        return map(self._convert, self.data["test"])
+
+    def _convert(self, doc):
+        choices = [doc["distractor1"], doc["distractor2"],
+                   doc["distractor3"], doc["correct_answer"]]
+        src = doc.get("support", "")
+        return {
+            "source": src,
+            "query": doc["question"],
+            "choices": choices,
+            "gold": 3,
+        }
+
+    def doc_to_text(self, doc):
+        return f"{doc['source']}\nQuestion: {doc['query']}\nAnswer:".strip()
+
+
+class COPA(Task):
+    """reference lm_eval/tasks/superglue.py Copa: cause/effect continuation."""
+
+    DATASET_PATH = "super_glue"
+    DATASET_NAME = "copa"
+
+    def has_validation_docs(self):
+        return True
+
+    def has_test_docs(self):
+        return False
+
+    def validation_docs(self):
+        return self.data["validation"]
+
+    def doc_to_text(self, doc):
+        connector = {"cause": "because", "effect": "therefore"}[
+            doc["question"]]
+        return doc["premise"].strip()[:-1] + f" {connector}"
+
+    def doc_to_target(self, doc):
+        correct = doc["choice1"] if doc["label"] == 0 else doc["choice2"]
+        return " " + correct[0].lower() + correct[1:]
+
+    def construct_requests(self, doc, ctx):
+        def conv(choice):
+            return " " + choice[0].lower() + choice[1:]
+        return [rf.loglikelihood(ctx, conv(doc["choice1"]))[0],
+                rf.loglikelihood(ctx, conv(doc["choice2"]))[0]]
+
+    def process_results(self, doc, results):
+        return {"acc": float(np.argmax(results) == doc["label"])}
+
+    def aggregation(self):
+        return {"acc": mean}
+
+    def higher_is_better(self):
+        return {"acc": True}
+
+
+class RTE(Task):
+    """GLUE RTE (reference lm_eval/tasks/glue.py)."""
+
+    DATASET_PATH = "glue"
+    DATASET_NAME = "rte"
+
+    def has_validation_docs(self):
+        return True
+
+    def has_test_docs(self):
+        return False
+
+    def validation_docs(self):
+        return self.data["validation"]
+
+    def doc_to_text(self, doc):
+        return (f"{doc['sentence1']}\nQuestion: {doc['sentence2']} "
+                "True or False?\nAnswer:")
+
+    def doc_to_target(self, doc):
+        return " " + ["True", "False"][doc["label"]]
+
+    def construct_requests(self, doc, ctx):
+        return [rf.loglikelihood(ctx, " True")[0],
+                rf.loglikelihood(ctx, " False")[0]]
+
+    def process_results(self, doc, results):
+        return {"acc": float(np.argmax(results) == doc["label"])}
+
+    def aggregation(self):
+        return {"acc": mean}
+
+    def higher_is_better(self):
+        return {"acc": True}
+
+
+class SST(RTE):
+    """GLUE SST-2 sentiment."""
+
+    DATASET_PATH = "glue"
+    DATASET_NAME = "sst2"
+
+    def doc_to_text(self, doc):
+        s = doc["sentence"].strip()
+        return f"{s}\nQuestion: Is this sentence positive or negative?\nAnswer:"
+
+    def doc_to_target(self, doc):
+        return " " + ["negative", "positive"][doc["label"]]
+
+    def construct_requests(self, doc, ctx):
+        return [rf.loglikelihood(ctx, " negative")[0],
+                rf.loglikelihood(ctx, " positive")[0]]
+
+
+TASK_REGISTRY.update({
+    "openbookqa": OpenBookQA,
+    "sciq": SciQ,
+    "copa": COPA,
+    "rte": RTE,
+    "sst": SST,
+})

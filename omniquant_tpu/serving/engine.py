@@ -143,6 +143,9 @@ class LlamaEngine:
                                 static_argnames=("seq_len",))
         self._decode = jax.jit(self._decode_impl, donate_argnums=(1,),
                                static_argnames=("kv_len",))
+        self._decode_multi = jax.jit(
+            self._decode_multi_impl, donate_argnums=(1,),
+            static_argnames=("kv_len", "n_steps"))
 
     # ------------------------------------------------------------------
     def _write_kv(self, cache: KVCache, li, slot, pos, k_new, v_new):
@@ -175,6 +178,19 @@ class LlamaEngine:
         return cache.k[li][:, :, sl], cache.v[li][:, :, sl]
 
     # ------------------------------------------------------------------
+    # family hooks (overridden by OPTEngine)
+    def _embed(self, params, tokens, positions):
+        return jllama.embed(params, tokens).astype(self.dtype)
+
+    def _head(self, params, x):
+        return jllama.head(params, x, self.cfg)
+
+    def _attn_norm(self, p, x):
+        return rms_norm(x, p["input_layernorm"], self.cfg.rms_norm_eps)
+
+    def _attn_out(self, p, attn):
+        return linear(attn, p["o_proj"], self.spec.act)
+
     def _attn_qkv(self, p, hidden, positions):
         cfg = self.cfg
         b, s, _ = hidden.shape
@@ -217,15 +233,15 @@ class LlamaEngine:
         """Prefill one slot with `tokens` (1, seq_len — bucket-padded);
         returns (cache, logits at position last_idx)."""
         cfg = self.cfg
-        x = jllama.embed(params, tokens).astype(self.dtype)
         positions = jnp.arange(seq_len)
+        x = self._embed(params, tokens, positions[None])
         neg = jnp.finfo(self.dtype).min
         mask = jnp.where(
             positions[None, :] <= positions[:, None], 0.0, neg
         ).astype(self.dtype)[None, None]
         for li, p in enumerate(params["layers"]):
             residual = x
-            hidden = rms_norm(x, p["input_layernorm"], cfg.rms_norm_eps)
+            hidden = self._attn_norm(p, x)
             q, k, v = self._attn_qkv(p, hidden, positions)
             cache = self._write_kv(cache, li, slot, 0, k[0], v[0])
             k_r, v_r = repeat_kv(k, cfg.n_rep), repeat_kv(v, cfg.n_rep)
@@ -234,11 +250,11 @@ class LlamaEngine:
                 (scores + mask).astype(jnp.float32), axis=-1).astype(self.dtype)
             attn = jnp.einsum("bhqk,bhkd->bhqd", probs, v_r)
             attn = attn.transpose(0, 2, 1, 3).reshape(1, seq_len, -1)
-            x = residual + linear(attn, p["o_proj"], self.spec.act)
+            x = residual + self._attn_out(p, attn)
             x = self._mlp(p, x)
         last = jax.lax.dynamic_slice_in_dim(x, last_idx, 1, axis=1)
-        logits = jllama.head(params, last, cfg)
-        return cache, logits[:, 0]
+        logits = self._head(params, last)
+        return cache, jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
 
     def _decode_impl(self, params, cache: KVCache, last_tokens, lengths,
                      kv_len: int):
@@ -249,8 +265,8 @@ class LlamaEngine:
         not max_len. Returns (cache, logits (B, V))."""
         cfg = self.cfg
         B = self.max_batch
-        x = jllama.embed(params, last_tokens[:, None]).astype(self.dtype)
         positions = lengths[:, None]  # (B, 1)
+        x = self._embed(params, last_tokens[:, None], positions)
         kv_positions = jnp.arange(kv_len)
         neg = jnp.finfo(self.dtype).min
         # slot mask: attend to cache positions < length, plus self (written below)
@@ -261,7 +277,7 @@ class LlamaEngine:
 
         for li, p in enumerate(params["layers"]):
             residual = x
-            hidden = rms_norm(x, p["input_layernorm"], cfg.rms_norm_eps)
+            hidden = self._attn_norm(p, x)
             q, k, v = self._attn_qkv(p, hidden, positions)
             # scatter each slot's new kv at (slot, :, lengths[slot], :) —
             # touches B*n_kv*hd elements, not the whole cache
@@ -290,10 +306,33 @@ class LlamaEngine:
                 (scores + mask).astype(jnp.float32), axis=-1).astype(self.dtype)
             attn = jnp.einsum("bhqk,bhkd->bhqd", probs, v_r)
             attn = attn.transpose(0, 2, 1, 3).reshape(B, 1, -1)
-            x = residual + linear(attn, p["o_proj"], self.spec.act)
+            x = residual + self._attn_out(p, attn)
             x = self._mlp(p, x)
-        logits = jllama.head(params, x, cfg)
-        return cache, logits[:, 0]
+        logits = self._head(params, x)
+        # greedy selection on device: the host only ever transfers (B,)
+        # int32 tokens — shipping full (B, vocab) logits through the host
+        # link dominated step time (151ms -> ~1ms on the tunneled chip)
+        return cache, jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+
+    def _decode_multi_impl(self, params, cache: KVCache, last_tokens,
+                           lengths, kv_len: int, n_steps: int):
+        """n_steps greedy decode steps entirely on device (one host round
+        trip amortizes over n tokens per slot — the host link latency, not
+        compute, bounds per-step serving on high-latency interconnects).
+        Returns (cache, tokens (B, n_steps))."""
+        B = self.max_batch
+
+        def body(i, carry):
+            cache, toks, lens, out = carry
+            cache, nxt = self._decode_impl(params, cache, toks, lens, kv_len)
+            out = jax.lax.dynamic_update_slice_in_dim(
+                out, nxt[:, None], i, axis=1)
+            return cache, nxt, lens + 1, out
+
+        out0 = jnp.zeros((B, n_steps), jnp.int32)
+        cache, _, _, out = jax.lax.fori_loop(
+            0, n_steps, body, (cache, last_tokens, lengths, out0))
+        return cache, out
 
     # ------------------------------------------------------------------
     # host-side continuous batching API
@@ -314,8 +353,7 @@ class LlamaEngine:
             len(t) - 1, seq_len=bucket)
         self.active[slot] = True
         self.lengths[slot] = len(tokens)
-        self._last_logits = np.asarray(logits)
-        self._pending_next = {slot: int(np.argmax(self._last_logits[0]))}
+        self._pending_next = {slot: int(np.asarray(logits)[0])}
         return slot
 
     def release(self, slot: int):
@@ -333,15 +371,36 @@ class LlamaEngine:
         longest = int(self.lengths[self.active].max()) if self.active.any() else 0
         kv_len = min(self.max_len,
                      max(64, 1 << int(np.ceil(np.log2(longest + 1)))))
-        self.cache, logits = self._decode(
+        self.cache, next_tokens = self._decode(
             self.params, self.cache, jnp.asarray(toks),
             jnp.asarray(self.lengths), kv_len=kv_len)
         out = {}
-        logits = np.asarray(logits)
+        next_tokens = np.asarray(next_tokens)  # (B,) int32 — tiny transfer
         for s in last_tokens:
             self.lengths[s] += 1
-            out[s] = int(np.argmax(logits[s]))
+            out[s] = int(next_tokens[s])
         return out
+
+    def step_n(self, last_tokens: dict, n: int) -> dict:
+        """n decode steps in one device dispatch. Returns {slot: [tokens]}.
+        Requests can only join/leave every n tokens — the coarser continuous-
+        batching granularity trades scheduling latency for host-link
+        round-trips."""
+        toks = np.zeros(self.max_batch, np.int32)
+        for s, t in last_tokens.items():
+            toks[s] = t
+        longest = int(self.lengths[self.active].max()) if self.active.any() else 0
+        kv_len = min(self.max_len,
+                     max(64, 1 << int(np.ceil(np.log2(longest + n + 1)))))
+        self.cache, out = self._decode_multi(
+            self.params, self.cache, jnp.asarray(toks),
+            jnp.asarray(self.lengths), kv_len=kv_len, n_steps=n)
+        out = np.asarray(out)
+        res = {}
+        for s in last_tokens:
+            self.lengths[s] += n
+            res[s] = out[s].tolist()
+        return res
 
     def generate(self, prompt_tokens, max_new_tokens: int = 32) -> list:
         """Greedy single-request convenience wrapper."""
@@ -354,3 +413,85 @@ class LlamaEngine:
             out.append(next_tok)
         self.release(slot)
         return out
+
+
+class OPTEngine(LlamaEngine):
+    """Continuous-batching decoder for the OPT family.
+
+    Differences from llama handled via the family hooks: learned positional
+    embeddings (+2 offset) added at embed time, LayerNorm with bias, no RoPE,
+    q pre-scaled by head_dim**-0.5, ReLU fc1/fc2 MLP, final decoder norm in
+    the head. Requires do_layer_norm_before=True configs (the standard OPT
+    family; the reference's post-norm variant is eval-path only)."""
+
+    def __init__(self, params, cfg, **kw):
+        assert cfg.do_layer_norm_before, "OPTEngine supports pre-norm OPT"
+        # adapt llama-named attributes the base engine uses
+        self._ocfg = cfg
+        import dataclasses as _dc
+
+        class _Adapter:
+            pass
+
+        a = _Adapter()
+        a.__dict__.update(cfg.__dict__)
+        a.num_hidden_layers = cfg.num_hidden_layers
+        a.num_attention_heads = cfg.num_attention_heads
+        a.num_key_value_heads = cfg.num_attention_heads
+        a.head_dim = cfg.head_dim
+        a.n_rep = 1
+        a.intermediate_size = cfg.ffn_dim
+        a.rms_norm_eps = cfg.layer_norm_eps
+        a.rope_theta = 0.0
+        super().__init__(params, a, **kw)
+
+    def _embed(self, params, tokens, positions):
+        from ..models.common import linear as _lin
+
+        x = params["embed_tokens"][tokens].astype(self.dtype)
+        if params.get("project_in") is not None:
+            x = _lin(x, params["project_in"])
+        pos = params["embed_positions"][positions + 2].astype(self.dtype)
+        return x + pos
+
+    def _head(self, params, x):
+        from ..models import opt as jopt
+
+        return jopt.head(params, x, self._ocfg)
+
+    def _attn_norm(self, p, x):
+        from ..models.common import layer_norm
+
+        return layer_norm(x, p["self_attn_layer_norm"],
+                          self._ocfg.layer_norm_eps)
+
+    def _attn_qkv(self, p, hidden, positions):
+        cfg = self.cfg
+        b, s, _ = hidden.shape
+        if "qkv_fused" in p:
+            qkv = linear(hidden, p["qkv_fused"], self.spec.act)
+            h = cfg.hidden_size
+            q, k, v = qkv[..., :h], qkv[..., h : 2 * h], qkv[..., 2 * h :]
+        else:
+            q = linear(hidden, p["q_proj"], self.spec.act)
+            k = linear(hidden, p["k_proj"], self.spec.act)
+            v = linear(hidden, p["v_proj"], self.spec.act)
+        # fold the reference's pre-matmul q scaling (int_opt_layer.py:96)
+        # into q so attention_core's 1/sqrt(hd) post-scale stays correct:
+        # the engine scores divide by sqrt(hd) once, matching either order
+        hd = cfg.head_dim
+        q = q.reshape(b, s, cfg.num_attention_heads, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(b, s, cfg.num_attention_heads, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(b, s, cfg.num_attention_heads, hd).transpose(0, 2, 1, 3)
+        return q, k, v
+
+    def _attn_out(self, p, attn):
+        return linear(attn, p["out_proj"], self.spec.act)
+
+    def _mlp(self, p, x):
+        from ..models.common import layer_norm
+
+        h = layer_norm(x, p["final_layer_norm"], self._ocfg.layer_norm_eps)
+        h = jax.nn.relu(linear(h, p["fc1"], self.spec.act))
+        return x + linear(h, p["fc2"], self.spec.act)
+

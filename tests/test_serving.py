@@ -123,3 +123,44 @@ def test_slot_exhaustion_raises(tiny_llama):
     eng.add_request([1, 2, 3])
     with pytest.raises(RuntimeError, match="no free slots"):
         eng.add_request([4, 5])
+
+
+def test_opt_engine_matches_full_forward():
+    from omniquant_tpu.models import opt as jopt
+    from omniquant_tpu.serving.engine import OPTEngine
+
+    cfg = jopt.OPTConfig(
+        vocab_size=128, hidden_size=32, ffn_dim=64, num_hidden_layers=2,
+        num_attention_heads=4, max_position_embeddings=128,
+    )
+    params = jopt.init_params(jax.random.PRNGKey(3), cfg)
+    eng = OPTEngine(params, cfg, max_batch=2, max_len=64, dtype=jnp.float32)
+    prompt = [5, 17, 99, 3]
+    got = eng.generate(prompt, max_new_tokens=8)
+
+    toks = jnp.asarray(np.asarray(prompt, np.int32)[None])
+    ref = []
+    for _ in range(8):
+        logits = jopt.forward(params, toks, cfg)
+        nxt = int(jnp.argmax(logits[0, -1]))
+        ref.append(nxt)
+        toks = jnp.concatenate([toks, jnp.asarray([[nxt]])], axis=1)
+    assert got == ref, (got, ref)
+
+
+def test_step_n_matches_single_steps(tiny_llama):
+    cfg, params = tiny_llama
+    prompt = [5, 17, 99, 3]
+    eng1 = LlamaEngine(params, cfg, max_batch=1, max_len=64, dtype=jnp.float32)
+    s = eng1.add_request(prompt)
+    t = eng1._pending_next[s]
+    singles = [t]
+    for _ in range(6):
+        t = eng1.step({s: t})[s]
+        singles.append(t)
+
+    eng2 = LlamaEngine(params, cfg, max_batch=1, max_len=64, dtype=jnp.float32)
+    s2 = eng2.add_request(prompt)
+    t2 = eng2._pending_next[s2]
+    multi = [t2] + eng2.step_n({s2: t2}, 6)[s2]
+    assert multi == singles, (multi, singles)
