@@ -86,6 +86,27 @@ TINY_CONFIGS = {
 }
 
 
+class CharTokenizer:
+    """ASCII char-level tokenizer for --synthetic runs (lets the --tasks
+    harness path run without a real tokenizer)."""
+
+    eos_token_id = 0
+
+    def __init__(self, vocab_size=256):
+        self.vocab_size = vocab_size
+
+    def encode(self, s, add_special_tokens=False):
+        return [min(ord(c), self.vocab_size - 1) for c in s]
+
+    def decode(self, tokens):
+        return "".join(chr(max(1, int(t))) for t in tokens)
+
+    def __call__(self, s, **kw):
+        import types
+
+        return types.SimpleNamespace(input_ids=self.encode(s))
+
+
 def load_model(args, logger):
     """Returns (family, model_cfg, params, tokenizer)."""
     import jax
@@ -100,7 +121,7 @@ def load_model(args, logger):
                 f"--synthetic supports nets {sorted(TINY_CONFIGS)}; got {name}")
         cfg = fam.config_cls(**kwargs)
         params = fam.init_params(jax.random.PRNGKey(args.seed), cfg)
-        return fam, cfg, params, None
+        return fam, cfg, params, CharTokenizer(cfg.vocab_size)
 
     if not args.model:
         raise SystemExit("need --model <local-hf-path> or --synthetic")

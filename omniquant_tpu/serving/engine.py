@@ -319,20 +319,18 @@ class LlamaEngine:
         """n_steps greedy decode steps entirely on device (one host round
         trip amortizes over n tokens per slot — the host link latency, not
         compute, bounds per-step serving on high-latency interconnects).
-        Returns (cache, tokens (B, n_steps))."""
-        B = self.max_batch
+        Returns (cache, tokens (B, n_steps)).
 
-        def body(i, carry):
-            cache, toks, lens, out = carry
-            cache, nxt = self._decode_impl(params, cache, toks, lens, kv_len)
-            out = jax.lax.dynamic_update_slice_in_dim(
-                out, nxt[:, None], i, axis=1)
-            return cache, nxt, lens + 1, out
-
-        out0 = jnp.zeros((B, n_steps), jnp.int32)
-        cache, _, _, out = jax.lax.fori_loop(
-            0, n_steps, body, (cache, last_tokens, lengths, out0))
-        return cache, out
+        Statically unrolled rather than lax.fori_loop: XLA double-buffers a
+        loop-carried cache (2x HBM — OOM at 7B), while the unrolled chain
+        aliases the donated buffers like sequential calls do."""
+        toks, lens = last_tokens, lengths
+        outs = []
+        for _ in range(n_steps):
+            cache, toks = self._decode_impl(params, cache, toks, lens, kv_len)
+            lens = lens + 1
+            outs.append(toks)
+        return cache, jnp.stack(outs, axis=1)
 
     # ------------------------------------------------------------------
     # host-side continuous batching API
