@@ -1,2 +1,2 @@
-from .engine import LlamaEngine, OPTEngine, fuse_packed
+from .engine import FalconEngine, LlamaEngine, OPTEngine, fuse_packed
 from .export import pack_model

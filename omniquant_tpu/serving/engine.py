@@ -227,6 +227,29 @@ class LlamaEngine:
             up = linear(h, p["up_proj"], self.spec.act)
         return x + linear(jax.nn.silu(gate) * up, p["down_proj"], self.spec.act)
 
+    def _attn_core(self, p, hidden, positions, mask, commit):
+        """qkv -> cache commit -> attention -> output projection."""
+        cfg = self.cfg
+        b, s, _ = hidden.shape
+        q, k, v = self._attn_qkv(p, hidden, positions)
+        k_all, v_all = commit(k, v)
+        k_r = repeat_kv(k_all, cfg.n_rep)
+        v_r = repeat_kv(v_all, cfg.n_rep)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k_r) / (cfg.head_dim**0.5)
+        probs = jax.nn.softmax(
+            (scores + mask).astype(jnp.float32), axis=-1).astype(self.dtype)
+        attn = jnp.einsum("bhqk,bhkd->bhqd", probs, v_r)
+        attn = attn.transpose(0, 2, 1, 3).reshape(b, s, -1)
+        return self._attn_out(p, attn)
+
+    def _block(self, p, x, positions, mask, commit):
+        """One decoder block (pre-norm residual form; falcon overrides
+        for parallel attention)."""
+        residual = x
+        hidden = self._attn_norm(p, x)
+        x = residual + self._attn_core(p, hidden, positions, mask, commit)
+        return self._mlp(p, x)
+
     # ------------------------------------------------------------------
     def _prefill_impl(self, params, cache: KVCache, tokens, slot, last_idx,
                       seq_len: int):
@@ -240,18 +263,11 @@ class LlamaEngine:
             positions[None, :] <= positions[:, None], 0.0, neg
         ).astype(self.dtype)[None, None]
         for li, p in enumerate(params["layers"]):
-            residual = x
-            hidden = self._attn_norm(p, x)
-            q, k, v = self._attn_qkv(p, hidden, positions)
-            cache = self._write_kv(cache, li, slot, 0, k[0], v[0])
-            k_r, v_r = repeat_kv(k, cfg.n_rep), repeat_kv(v, cfg.n_rep)
-            scores = jnp.einsum("bhqd,bhkd->bhqk", q, k_r) / (cfg.head_dim**0.5)
-            probs = jax.nn.softmax(
-                (scores + mask).astype(jnp.float32), axis=-1).astype(self.dtype)
-            attn = jnp.einsum("bhqk,bhkd->bhqd", probs, v_r)
-            attn = attn.transpose(0, 2, 1, 3).reshape(1, seq_len, -1)
-            x = residual + self._attn_out(p, attn)
-            x = self._mlp(p, x)
+            def commit(k, v, _li=li):
+                nonlocal cache
+                cache = self._write_kv(cache, _li, slot, 0, k[0], v[0])
+                return k, v
+            x = self._block(p, x, positions, mask, commit)
         last = jax.lax.dynamic_slice_in_dim(x, last_idx, 1, axis=1)
         logits = self._head(params, last)
         return cache, jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
@@ -276,38 +292,30 @@ class LlamaEngine:
         b_idx = jnp.arange(B)
 
         for li, p in enumerate(params["layers"]):
-            residual = x
-            hidden = self._attn_norm(p, x)
-            q, k, v = self._attn_qkv(p, hidden, positions)
-            # scatter each slot's new kv at (slot, :, lengths[slot], :) —
-            # touches B*n_kv*hd elements, not the whole cache
-            ck, cv = list(cache.k), list(cache.v)
-            if self.kv_int8:
-                kc, ks = _quantize_kv(k[:, :, 0])
-                vc, vs = _quantize_kv(v[:, :, 0])
-                cks, cvs = list(cache.k_scale), list(cache.v_scale)
-                ck[li] = cache.k[li].at[b_idx, :, lengths, :].set(kc)
-                cv[li] = cache.v[li].at[b_idx, :, lengths, :].set(vc)
-                cks[li] = cache.k_scale[li].at[b_idx, :, lengths, :].set(ks)
-                cvs[li] = cache.v_scale[li].at[b_idx, :, lengths, :].set(vs)
-                cache = KVCache(ck, cv, cks, cvs)
-            else:
-                ck[li] = cache.k[li].at[b_idx, :, lengths, :].set(
-                    k[:, :, 0].astype(cache.k[li].dtype))
-                cv[li] = cache.v[li].at[b_idx, :, lengths, :].set(
-                    v[:, :, 0].astype(cache.v[li].dtype))
-                cache = KVCache(ck, cv, None, None)
-
-            k_all, v_all = self._read_kv(cache, li, kv_len)
-            k_r = repeat_kv(k_all, cfg.n_rep)
-            v_r = repeat_kv(v_all, cfg.n_rep)
-            scores = jnp.einsum("bhqd,bhkd->bhqk", q, k_r) / (cfg.head_dim**0.5)
-            probs = jax.nn.softmax(
-                (scores + mask).astype(jnp.float32), axis=-1).astype(self.dtype)
-            attn = jnp.einsum("bhqk,bhkd->bhqd", probs, v_r)
-            attn = attn.transpose(0, 2, 1, 3).reshape(B, 1, -1)
-            x = residual + self._attn_out(p, attn)
-            x = self._mlp(p, x)
+            def commit(k, v, _li=li):
+                """Scatter each slot's new kv at (slot, :, lengths[slot]) —
+                touches B*n_kv*hd elements — then return the visible window."""
+                nonlocal cache
+                ck, cv = list(cache.k), list(cache.v)
+                if self.kv_int8:
+                    kc, ks = _quantize_kv(k[:, :, 0])
+                    vc, vs = _quantize_kv(v[:, :, 0])
+                    cks, cvs = list(cache.k_scale), list(cache.v_scale)
+                    ck[_li] = cache.k[_li].at[b_idx, :, lengths, :].set(kc)
+                    cv[_li] = cache.v[_li].at[b_idx, :, lengths, :].set(vc)
+                    cks[_li] = cache.k_scale[_li].at[
+                        b_idx, :, lengths, :].set(ks)
+                    cvs[_li] = cache.v_scale[_li].at[
+                        b_idx, :, lengths, :].set(vs)
+                    cache = KVCache(ck, cv, cks, cvs)
+                else:
+                    ck[_li] = cache.k[_li].at[b_idx, :, lengths, :].set(
+                        k[:, :, 0].astype(cache.k[_li].dtype))
+                    cv[_li] = cache.v[_li].at[b_idx, :, lengths, :].set(
+                        v[:, :, 0].astype(cache.v[_li].dtype))
+                    cache = KVCache(ck, cv, None, None)
+                return self._read_kv(cache, _li, kv_len)
+            x = self._block(p, x, positions, mask, commit)
         logits = self._head(params, x)
         # greedy selection on device: the host only ever transfers (B,)
         # int32 tokens — shipping full (B, vocab) logits through the host
@@ -493,3 +501,89 @@ class OPTEngine(LlamaEngine):
         h = jax.nn.relu(linear(h, p["fc1"], self.spec.act))
         return x + linear(h, p["fc2"], self.spec.act)
 
+
+
+class FalconEngine(LlamaEngine):
+    """Continuous-batching decoder for the falcon family.
+
+    Supports the falcon-7b-style architecture (multi-query + parallel
+    attention + rotary) and the classic variant (post-attention norm); the
+    new-decoder-architecture dual-LN form follows the parallel path with
+    ln_attn/ln_mlp."""
+
+    def __init__(self, params, cfg, **kw):
+        self._fcfg = cfg
+
+        class _Adapter:
+            pass
+
+        a = _Adapter()
+        a.__dict__.update(cfg.__dict__)
+        a.num_hidden_layers = cfg.num_hidden_layers
+        a.num_attention_heads = cfg.num_attention_heads
+        # kv stored per query head after broadcast (multi-query caches the
+        # single kv head replicated — memory-suboptimal but simple; a later
+        # optimization stores n_kv=1 and repeats on read)
+        a.num_key_value_heads = cfg.num_attention_heads
+        a.head_dim = cfg.head_dim
+        a.n_rep = 1
+        a.rms_norm_eps = cfg.layer_norm_eps
+        a.rope_theta = cfg.rope_theta
+        a.hidden_size = cfg.hidden_size
+        super().__init__(params, a, **kw)
+
+    def _embed(self, params, tokens, positions):
+        from ..models import falcon as jfalcon
+
+        return jfalcon.embed(params, tokens).astype(self.dtype)
+
+    def _head(self, params, x):
+        from ..models import falcon as jfalcon
+
+        return jfalcon.head(params, x, self._fcfg)
+
+    def _attn_qkv(self, p, hidden, positions):
+        from ..models import falcon as jfalcon
+
+        cfg = self._fcfg
+        fused = linear(hidden, p["query_key_value"], self.spec.act)
+        q, k, v = jfalcon.split_heads(fused, cfg)
+        q = q.transpose(0, 2, 1, 3)
+        k = k.transpose(0, 2, 1, 3)
+        v = v.transpose(0, 2, 1, 3)
+        if not cfg.alibi:
+            cos, sin = jllama.rope_cos_sin(
+                positions, cfg.head_dim, cfg.rope_theta, dtype=hidden.dtype)
+            q, k = jllama.apply_rope(q, k, cos, sin)
+        return q, k, v
+
+    def _attn_out(self, p, attn):
+        return linear(attn, p["dense"], self.spec.act)
+
+    def _block(self, p, x, positions, mask, commit):
+        from ..models.common import layer_norm
+
+        cfg = self._fcfg
+        residual = x
+        if cfg.new_decoder_architecture:
+            attn_ln = layer_norm(x, p["ln_attn"], cfg.layer_norm_eps)
+            mlp_ln = layer_norm(x, p["ln_mlp"], cfg.layer_norm_eps)
+        else:
+            attn_ln = layer_norm(x, p["input_layernorm"], cfg.layer_norm_eps)
+            mlp_ln = None
+        attn_out = self._attn_core(p, attn_ln, positions, mask, commit)
+        if not cfg.new_decoder_architecture:
+            if cfg.parallel_attn:
+                mlp_ln = attn_ln
+            else:
+                residual = residual + attn_out
+                mlp_ln = layer_norm(
+                    residual, p["post_attention_layernorm"],
+                    cfg.layer_norm_eps)
+        h = jax.nn.gelu(
+            linear(mlp_ln, p["dense_h_to_4h"], self.spec.act),
+            approximate=False)
+        mlp_out = linear(h, p["dense_4h_to_h"], self.spec.act)
+        if cfg.new_decoder_architecture or cfg.parallel_attn:
+            mlp_out = mlp_out + attn_out
+        return residual + mlp_out

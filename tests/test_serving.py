@@ -164,3 +164,30 @@ def test_step_n_matches_single_steps(tiny_llama):
     t2 = eng2._pending_next[s2]
     multi = [t2] + eng2.step_n({s2: t2}, 6)[s2]
     assert multi == singles, (multi, singles)
+
+
+@pytest.mark.parametrize("kw", [
+    dict(multi_query=True, parallel_attn=True),    # falcon-7b style
+    dict(multi_query=False, parallel_attn=False),  # classic
+])
+def test_falcon_engine_matches_full_forward(kw):
+    from omniquant_tpu.models import falcon as jfalcon
+    from omniquant_tpu.serving.engine import FalconEngine
+
+    cfg = jfalcon.FalconConfig(
+        vocab_size=128, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, bias=False, alibi=False, **kw)
+    params = jfalcon.init_params(jax.random.PRNGKey(4), cfg)
+    eng = FalconEngine(params, cfg, max_batch=2, max_len=64,
+                       dtype=jnp.float32)
+    prompt = [5, 17, 99, 3]
+    got = eng.generate(prompt, max_new_tokens=8)
+
+    toks = jnp.asarray(np.asarray(prompt, np.int32)[None])
+    ref = []
+    for _ in range(8):
+        logits = jfalcon.forward(params, toks, cfg)
+        nxt = int(jnp.argmax(logits[0, -1]))
+        ref.append(nxt)
+        toks = jnp.concatenate([toks, jnp.asarray([[nxt]])], axis=1)
+    assert got == ref, (got, ref)
