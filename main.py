@@ -70,6 +70,12 @@ def build_parser():
     p.add_argument("--act-shifts", dest="act_shifts", type=str, default=None)
     p.add_argument("--platform", type=str, default=None,
                    help="force jax platform (cpu for testing)")
+    p.add_argument("--debug_nans", action="store_true",
+                   help="trap NaNs at the op that produced them "
+                        "(jax_debug_nans; the reference dropped into pdb "
+                        "only after a whole block went NaN)")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="capture a jax.profiler trace of the run")
     return p
 
 
@@ -146,6 +152,8 @@ def main(argv=None):
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     import jax.numpy as jnp
 
     from omniquant_tpu.calib import (
@@ -166,6 +174,8 @@ def main(argv=None):
     if args.net is None and args.model:
         args.net = args.model.split("/")[-1]
 
+    if args.profile_dir:
+        jax.profiler.start_trace(args.profile_dir)
     family, model_cfg, params, tokenizer = load_model(args, logger)
     seqlen = args.seqlen
     results = {}
@@ -276,6 +286,9 @@ def main(argv=None):
             spec=cc.act_quant_spec, logger=logger)
         results.update(t_results)
 
+    if args.profile_dir:
+        jax.profiler.stop_trace()
+        logger.info(f"profiler trace written to {args.profile_dir}")
     logger.info(json.dumps(results))
     print(json.dumps(results))
     return results

@@ -26,23 +26,32 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..quant.packing import PackedWeight, pack_tile, vals_per_word
+from ..quant.packing import (
+    PackedWeight, pack_tile, rows_per_words, vals_per_word, words_per_rows)
 
 
-def _unpack_tile(qw, bits: int):
-    """(tile//vpw, bn) packed words -> (tile, bn) int32 codes.
-
-    vpw static 2-D shift/mask ops + one concatenate along sublanes; row
-    order matches the tile-local planar layout (plane p = rows
-    [p*tile/vpw, (p+1)*tile/vpw))."""
+def _unpack_planar_tile(u, bits: int):
+    """(tile*bits/32, bn) words -> (tile, bn) int32 codes for power-of-two
+    widths: vpw static 2-D shift/mask ops + one concatenate along sublanes;
+    row order matches the tile-local planar layout."""
     vpw = vals_per_word(bits)
     mask = jnp.uint32(2**bits - 1)
-    u = pltpu.bitcast(qw, jnp.uint32)
     planes = [
         ((u >> jnp.uint32(bits * p)) & mask).astype(jnp.int32)
         for p in range(vpw)
     ]
     return jnp.concatenate(planes, axis=0)
+
+
+def _unpack_tile(qw, bits: int, bk: int):
+    """Packed tile words -> (bk, bn) int32 codes. 3-bit recombines its
+    2-bit and 1-bit planes (code = low | hi << 2)."""
+    u = pltpu.bitcast(qw, jnp.uint32)
+    if bits == 3:
+        low = _unpack_planar_tile(u[: bk // 16], 2)
+        hi = _unpack_planar_tile(u[bk // 16 :], 1)
+        return low | (hi << 2)
+    return _unpack_planar_tile(u, bits)
 
 
 def _qmm_kernel(x_ref, qw_ref, sc_ref, zp_ref, out_ref, acc_ref,
@@ -56,7 +65,7 @@ def _qmm_kernel(x_ref, qw_ref, sc_ref, zp_ref, out_ref, acc_ref,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     xv = x_ref[:]
-    codes = _unpack_tile(qw_ref[:], bits)  # (bk, bn) int32
+    codes = _unpack_tile(qw_ref[:], bits, bk)  # (bk, bn) int32
     n_g = bk // gs_rows
     # sc/off blocks are (1, ngp, bn) host-side per-K-tile slabs (ngp = n_g
     # rounded up to 8 sublanes); off = -zero*scale precomputed so dequant is
@@ -83,9 +92,8 @@ def _qmm_kernel(x_ref, qw_ref, sc_ref, zp_ref, out_ref, acc_ref,
 def _qmm_call(x, qweight, scales_t, zeros_t, bits, group_size,
               out_features, block_n, tile_k, interpret):
     m, k = x.shape
-    vpw = vals_per_word(bits)
     bk = tile_k  # one K tile == one pack tile (layout parameter)
-    k_pad = qweight.shape[0] * vpw
+    k_pad = rows_per_words(bits, qweight.shape[0])
     assert k_pad % bk == 0, (k_pad, bk)
     if k_pad != k:
         x = jnp.pad(x, ((0, 0), (0, k_pad - k)))
@@ -126,8 +134,8 @@ def _qmm_call(x, qweight, scales_t, zeros_t, bits, group_size,
         grid=grid,
         in_specs=[
             pl.BlockSpec((m, bk), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk // vpw, bn), lambda i, j: (j, i),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((words_per_rows(bits, bk), bn),
+                         lambda i, j: (j, i), memory_space=pltpu.VMEM),
             sc_spec,
             sc_spec,
         ],

@@ -94,11 +94,11 @@ def make_tp_llama_forward(mesh: Mesh, cfg, tp_axis: str = "tp"):
         if isinstance(w, PackedWeight):
             import dataclasses as _dc
 
-            from ..quant.packing import vals_per_word
+            from ..quant.packing import rows_per_words
 
             # inside shard_map the arrays are LOCAL shards; rebuild the
             # aux dims from the actual shard shapes
-            local_rows = w.qweight.shape[0] * vals_per_word(w.bits)
+            local_rows = rows_per_words(w.bits, w.qweight.shape[0])
             w = _dc.replace(
                 w, out_features=w.qweight.shape[1],
                 in_features=min(w.in_features, local_rows))

@@ -15,9 +15,10 @@ AutoGPTQ's CUDA format:
     sublane concatenate — no 3-D intermediates, no gathers, no transposes
     (the word-interleaved layout's unpack pattern stalls the Mosaic
     compiler; this one compiles in <1s and vectorizes cleanly).
-  * 3-bit: 10 values per int32 (30 used bits, 2 pad). This deliberately
-    avoids AutoGPTQ's word-boundary-crossing 3-bit layout, which cannot be
-    unpacked with uniform vector ops.
+  * 3-bit: a 2-bit plane + a 1-bit plane per tile (exactly 3.0 bits per
+    value; code = low2 | hi1 << 2). This avoids both AutoGPTQ's
+    word-boundary-crossing layout and n-per-word packings with
+    non-power-of-two n, whose unpack patterns compile poorly.
 
 Scales/zero-points are per-group along the in-features axis (group_size) or
 per output channel, stored as (out, n_groups) f32 — the transpose-free layout
@@ -35,21 +36,39 @@ from .quantizer import QuantConfig, quantize_weight_int
 
 
 def vals_per_word(bits: int) -> int:
-    return {2: 16, 3: 10, 4: 8, 8: 4}[bits]
+    """Values per int32 word for power-of-two widths. 3-bit uses a 2+1
+    bitplane decomposition (see pack_codes) rather than n-per-word packing,
+    so it has no single vals_per_word."""
+    return {1: 32, 2: 16, 4: 8, 8: 4}[bits]
+
+
+def words_per_rows(bits: int, rows: int) -> int:
+    """int32 words storing `rows` values at `bits` each — exact for every
+    supported width (3-bit = 2-bit plane + 1-bit plane)."""
+    assert (rows * bits) % 32 == 0, (bits, rows)
+    return rows * bits // 32
+
+
+def rows_per_words(bits: int, words: int) -> int:
+    assert (words * 32) % bits == 0, (bits, words)
+    return words * 32 // bits
 
 
 def pack_tile(bits: int, group_size: Optional[int],
               in_features: Optional[int] = None) -> int:
     """Default layout tile size (rows of W^T per planar pack tile): a
-    multiple of vals_per_word*8 (so each plane chunk fills whole sublanes)
-    and of the group size (so quant groups never straddle tiles), scaled
-    toward 512 rows so the matmul kernel's K steps stay coarse — but not
-    past in_features (smaller matrices keep the base tile, minimizing
-    padding). Tensor-parallel packing may override with a smaller multiple
-    of the base so shards split on tile boundaries."""
+    multiple of every plane chunk's 8-sublane unit and of the group size
+    (so quant groups never straddle tiles), scaled toward 512 rows so the
+    matmul kernel's K steps stay coarse — but not past in_features (smaller
+    matrices keep the base tile, minimizing padding). Tensor-parallel
+    packing may override with a smaller multiple of the base so shards
+    split on tile boundaries."""
     import math
 
-    base = vals_per_word(bits) * 8
+    if bits == 3:
+        base = 256  # 1-bit plane chunk tile/32 must fill 8 sublanes
+    else:
+        base = vals_per_word(bits) * 8
     if group_size:
         base = base * group_size // math.gcd(base, group_size)
     scale = max(1, 512 // base)
@@ -88,7 +107,7 @@ class PackedWeight:
 
     @property
     def k_pad(self) -> int:
-        return self.qweight.shape[0] * vals_per_word(self.bits)
+        return rows_per_words(self.bits, self.qweight.shape[0])
 
     def tree_flatten(self):
         return (
@@ -110,45 +129,81 @@ jax.tree_util.register_pytree_node(
 )
 
 
+def _pack_planar(codes_t: jax.Array, bits: int, tile: int) -> jax.Array:
+    """(k_pad, out) codes -> (k_pad*bits/32, out) words, tile-local planar.
+
+    Row r = tile j*T + plane p*(T/vpw) + w lives in bit-slot p of word
+    (j*(T/vpw) + w) within the tile's word block."""
+    k_pad, out_f = codes_t.shape
+    vpw = vals_per_word(bits)
+    plane = tile // vpw
+    grouped = codes_t.reshape(k_pad // tile, vpw, plane, out_f)
+    shifts = (bits * jnp.arange(vpw, dtype=jnp.uint32))[None, :, None, None]
+    packed = jnp.sum(grouped << shifts, axis=1, dtype=jnp.uint32)
+    return packed.reshape(k_pad * bits // 32, out_f)
+
+
+def _unpack_planar(packed: jax.Array, bits: int, tile: int) -> jax.Array:
+    vpw = vals_per_word(bits)
+    plane = tile // vpw
+    n_words, out_f = packed.shape
+    mask = jnp.uint32(2**bits - 1)
+    p = packed.astype(jnp.uint32).reshape(-1, plane, out_f)
+    shifts = (bits * jnp.arange(vpw, dtype=jnp.uint32))[None, :, None, None]
+    vals = (p[:, None] >> shifts) & mask
+    return vals.reshape(-1, out_f)
+
+
 def pack_codes(codes: jax.Array, bits: int,
                group_size: Optional[int] = None,
                tile_k: Optional[int] = None) -> jax.Array:
-    """Pack int codes (out, in) -> int32 (k_pad/vpw, out), tile-local planar.
-
-    Row r = tile j*T + plane p*(T/vpw) + w lives in bit-slot p of word
-    (j*(T/vpw) + w). Codes are zero-padded up to k_pad = roundup(in, T)."""
+    """Pack int codes (out, in) -> int32 (in_pad*bits/32, out), tile-local
+    planar. 3-bit decomposes into a 2-bit plane followed by a 1-bit plane
+    per tile (exactly 3.0 bits/value; avoids non-power-of-two packing whose
+    unpack patterns compile poorly). Codes are zero-padded up to
+    k_pad = roundup(in, tile)."""
     out_f, in_f = codes.shape
-    vpw = vals_per_word(bits)
     tile = tile_k or pack_tile(bits, group_size, in_f)
     codes_t = codes.T.astype(jnp.uint32)  # (in, out)
     pad = (-in_f) % tile
     if pad:
         codes_t = jnp.pad(codes_t, ((0, pad), (0, 0)))
     k_pad = codes_t.shape[0]
-    plane = tile // vpw
-    # (n_tiles, vpw, plane, out): row j*tile + p*plane + w
-    grouped = codes_t.reshape(k_pad // tile, vpw, plane, out_f)
-    shifts = (bits * jnp.arange(vpw, dtype=jnp.uint32))[None, :, None, None]
-    packed = jnp.sum(grouped << shifts, axis=1, dtype=jnp.uint32)
-    return packed.reshape(k_pad // vpw, out_f).astype(jnp.int32)
+    if bits == 3:
+        n_tiles = k_pad // tile
+        tiles = codes_t.reshape(n_tiles, tile, out_f)
+        low = _pack_planar(
+            (tiles & 3).reshape(k_pad, out_f), 2, tile
+        ).reshape(n_tiles, tile // 16, out_f)
+        hi = _pack_planar(
+            (tiles >> 2).reshape(k_pad, out_f), 1, tile
+        ).reshape(n_tiles, tile // 32, out_f)
+        packed = jnp.concatenate([low, hi], axis=1)  # (n_tiles, 3T/32, out)
+        return packed.reshape(k_pad * 3 // 32, out_f).astype(jnp.int32)
+    return _pack_planar(codes_t, bits, tile).astype(jnp.int32)
 
 
 def unpack_codes(packed: jax.Array, bits: int, in_features: int,
                  group_size: Optional[int] = None,
                  tile_k: Optional[int] = None) -> jax.Array:
-    """Unpack int32 (k_pad/vpw, out) -> codes (in_features, out) [W^T layout].
+    """Unpack int32 words -> codes (in_features, out) [W^T layout].
 
-    Pure jnp; the Pallas kernels inline the per-tile variant (vpw static 2-D
-    shift/mask ops + one concatenate)."""
+    Pure jnp; the Pallas kernels inline the per-tile variant (static 2-D
+    shift/mask ops + concatenates)."""
     n_words, out_f = packed.shape
-    vpw = vals_per_word(bits)
     tile = tile_k or pack_tile(bits, group_size, in_features)
-    plane = tile // vpw
-    mask = jnp.uint32(2**bits - 1)
-    p = packed.astype(jnp.uint32).reshape(-1, plane, out_f)  # (n_tiles, ...)
-    shifts = (bits * jnp.arange(vpw, dtype=jnp.uint32))[None, :, None, None]
-    vals = (p[:, None] >> shifts) & mask  # (n_tiles, vpw, plane, out)
-    return vals.reshape(-1, out_f)[:in_features].astype(jnp.int32)
+    if bits == 3:
+        wpt = tile * 3 // 32
+        tiles = packed.astype(jnp.uint32).reshape(-1, wpt, out_f)
+        n_tiles = tiles.shape[0]
+        low = _unpack_planar(
+            tiles[:, : tile // 16].reshape(-1, out_f), 2, tile)
+        hi = _unpack_planar(
+            tiles[:, tile // 16 :].reshape(-1, out_f), 1, tile)
+        vals = low | (hi << 2)
+        return vals[:in_features].astype(jnp.int32)
+    vals = _unpack_planar(packed.astype(jnp.uint32), bits, tile)
+    return vals[:in_features].astype(jnp.int32)
 
 
 def pack_weight(
