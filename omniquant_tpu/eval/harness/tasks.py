@@ -593,3 +593,19 @@ TASK_REGISTRY.update({
     "rte": RTE,
     "sst": SST,
 })
+
+
+# ---------------------------------------------------------------------------
+# extended suites (reference lm_eval/tasks/__init__.py:86-313): GLUE /
+# SuperGLUE, 67 BLiMP pairs, 22 Pile subsets, bias (crows_pairs, toxigen)
+# ---------------------------------------------------------------------------
+
+from .tasks_bias import BIAS_TASKS  # noqa: E402
+from .tasks_blimp import BLIMP_TASKS  # noqa: E402
+from .tasks_glue import GLUE_TASKS  # noqa: E402
+from .tasks_pile import PILE_TASKS  # noqa: E402
+
+TASK_REGISTRY.update(GLUE_TASKS)
+TASK_REGISTRY.update(BLIMP_TASKS)
+TASK_REGISTRY.update(PILE_TASKS)
+TASK_REGISTRY.update(BIAS_TASKS)

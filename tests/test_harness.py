@@ -164,3 +164,103 @@ def test_perplexity_task(lm):
     assert r["word_perplexity"] > 1.0
     assert r["byte_perplexity"] > 1.0
     assert r["bits_per_byte"] > 0.0
+
+
+# ---------------------------------------------------------------------------
+# extended suites: GLUE/SuperGLUE, BLiMP, Pile, bias
+# ---------------------------------------------------------------------------
+
+def test_registry_extended_suites():
+    assert sum(k.startswith("blimp_") for k in TASK_REGISTRY) == 67
+    assert sum(k.startswith("pile_") for k in TASK_REGISTRY) == 22
+    assert sum(k.startswith("crows_pairs_") for k in TASK_REGISTRY) == 22
+    for k in ("cola", "mnli", "qqp", "cb", "wic", "wsc", "multirc",
+              "record", "toxigen"):
+        assert k in TASK_REGISTRY, k
+
+
+def test_blimp_task(lm):
+    data = {"train": [
+        {"sentence_good": "the cat sleeps", "sentence_bad": "cat the the"},
+        {"sentence_good": "a dog runs", "sentence_bad": "runs dog dog a"},
+    ]}
+    results = simple_evaluate(
+        lm, ["blimp_adjunct_island"], num_fewshot=0,
+        task_data={"blimp_adjunct_island": data})
+    acc = results["results"]["blimp_adjunct_island"]["acc"]
+    assert 0.0 <= acc <= 1.0
+
+
+def test_glue_cola_mcc(lm):
+    docs = [{"sentence": f"sentence number {i}.", "label": i % 2}
+            for i in range(6)]
+    data = {"train": docs, "validation": docs}
+    results = simple_evaluate(
+        lm, ["cola"], num_fewshot=0, task_data={"cola": data})
+    assert "mcc" in results["results"]["cola"]
+
+
+def test_superglue_multirc_acc_all(lm):
+    docs = [
+        {"paragraph": "p one", "question": "q?", "answer": f"a{j}",
+         "label": j % 2, "idx": {"paragraph": 0, "question": 0}}
+        for j in range(3)
+    ] + [
+        {"paragraph": "p two", "question": "r?", "answer": "b",
+         "label": 1, "idx": {"paragraph": 1, "question": 0}}
+    ]
+    data = {"train": docs, "validation": docs}
+    results = simple_evaluate(
+        lm, ["multirc"], num_fewshot=0, task_data={"multirc": data})
+    # acc_all groups by (paragraph, question): value in [0, 1]
+    assert 0.0 <= results["results"]["multirc"]["acc"] <= 1.0
+
+
+def test_superglue_record_em_f1(lm):
+    docs = [{
+        "passage": "intro text\n@highlight\nfact one",
+        "query": "@placeholder was here",
+        "entities": ["alice", "bob"],
+        "answers": ["alice"],
+    }]
+    data = {"train": docs, "validation": docs}
+    results = simple_evaluate(
+        lm, ["record"], num_fewshot=0, task_data={"record": data})
+    r = results["results"]["record"]
+    assert 0.0 <= r["em"] <= 1.0 and 0.0 <= r["f1"] <= 1.0
+
+
+def test_pile_perplexity_task(lm):
+    data = {"validation": ["some plain text here", "more text"],
+            "test": ["unused"]}
+    results = simple_evaluate(
+        lm, ["pile_arxiv"], num_fewshot=0, task_data={"pile_arxiv": data})
+    r = results["results"]["pile_arxiv"]
+    assert r["word_perplexity"] > 0 and r["bits_per_byte"] > 0
+
+
+def test_crows_pairs_filtering(lm):
+    rows = [
+        {"sent_more": "aa bb", "sent_less": "aa cc", "bias_type": "age"},
+        {"sent_more": "dd ee", "sent_less": "dd ff",
+         "bias_type": "race-color"},
+    ]
+    data = {"test": rows}
+    results = simple_evaluate(
+        lm, ["crows_pairs_english_age"], num_fewshot=0,
+        task_data={"crows_pairs_english_age": data})
+    r = results["results"]["crows_pairs_english_age"]
+    assert 0.0 <= r["pct_stereotype"] <= 1.0
+    assert r["likelihood_difference"] >= 0.0
+
+
+def test_metrics_squad_style():
+    from omniquant_tpu.eval.harness.metrics import (
+        acc_all, compute_exact, compute_f1)
+    assert compute_exact("The Cat!", "the cat") == 1
+    assert compute_f1("x y z", "x y w") == pytest.approx(2 / 3)
+    items = [(True, {"label": 1, "idx": {"paragraph": 0, "question": 0}}),
+             (False, {"label": 0, "idx": {"paragraph": 0, "question": 0}}),
+             (False, {"label": 1, "idx": {"paragraph": 0, "question": 1}})]
+    # q0: both candidates correct -> 1; q1: wrong -> 0
+    assert acc_all(items) == pytest.approx(0.5)
