@@ -125,6 +125,18 @@ class JaxLM(LM):
 
         self._logprob_fn = logprob_fn
 
+        @partial(jax.jit, static_argnames=())
+        def next_token_fn(params, tokens, length):
+            """Greedy next token at position `length`-1 of a padded (1, B)
+            buffer. Causal masking makes the trailing pad inert, so one
+            compile per power-of-two bucket serves every prefix length."""
+            logits = family.forward(params, tokens, model_cfg, self.spec)
+            last = jax.lax.dynamic_index_in_dim(
+                logits, length - 1, axis=1, keepdims=False)
+            return jnp.argmax(last[0].astype(jnp.float32))
+
+        self._next_token_fn = next_token_fn
+
     # -- tokenization ------------------------------------------------------
     def tok_encode(self, string: str):
         return self.tokenizer.encode(string, add_special_tokens=False)
@@ -208,10 +220,13 @@ class JaxLM(LM):
             toks = list(ctx)
             generated = []
             for _ in range(self.max_gen_toks):
-                batch = np.asarray(toks[-self.seqlen:], np.int32)[None]
-                logits = self.family.forward(
-                    self.params, jnp.asarray(batch), self.cfg, self.spec)
-                nxt = int(np.argmax(np.asarray(logits[0, -1])))
+                window = toks[-self.seqlen:]
+                L = len(window)
+                bucket = max(32, 1 << int(np.ceil(np.log2(L + 1))))
+                buf = np.zeros((1, bucket), np.int32)
+                buf[0, :L] = window
+                nxt = int(self._next_token_fn(
+                    self.params, jnp.asarray(buf), jnp.int32(L)))
                 generated.append(nxt)
                 toks.append(nxt)
                 text = self.tok_decode(generated)

@@ -602,10 +602,18 @@ TASK_REGISTRY.update({
 
 from .tasks_bias import BIAS_TASKS  # noqa: E402
 from .tasks_blimp import BLIMP_TASKS  # noqa: E402
+from .tasks_gen import GEN_TASKS  # noqa: E402
 from .tasks_glue import GLUE_TASKS  # noqa: E402
+from .tasks_math import MATH_TASKS  # noqa: E402
 from .tasks_pile import PILE_TASKS  # noqa: E402
+from .tasks_qa import QA_TASKS  # noqa: E402
+from .tasks_translation import TRANSLATION_TASKS  # noqa: E402
 
 TASK_REGISTRY.update(GLUE_TASKS)
 TASK_REGISTRY.update(BLIMP_TASKS)
 TASK_REGISTRY.update(PILE_TASKS)
 TASK_REGISTRY.update(BIAS_TASKS)
+TASK_REGISTRY.update(QA_TASKS)
+TASK_REGISTRY.update(MATH_TASKS)
+TASK_REGISTRY.update(GEN_TASKS)
+TASK_REGISTRY.update(TRANSLATION_TASKS)

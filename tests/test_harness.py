@@ -264,3 +264,120 @@ def test_metrics_squad_style():
              (False, {"label": 1, "idx": {"paragraph": 0, "question": 1}})]
     # q0: both candidates correct -> 1; q1: wrong -> 0
     assert acc_all(items) == pytest.approx(0.5)
+
+
+# ---------------------------------------------------------------------------
+# QA / math / generation / translation suites
+# ---------------------------------------------------------------------------
+
+def test_registry_full_parity_with_reference():
+    # the reference registers ~232 tasks (incl. dynamic translation+mt
+    # expansion); everything it has must resolve here
+    for k in ("anli_r1", "swag", "webqs", "wsc273", "race", "mutual_plus",
+              "qasper", "gsm8k", "math_algebra", "arithmetic_2da",
+              "anagrams1", "ethics_virtue", "truthfulqa_mc", "truthfulqa_gen",
+              "coqa", "drop", "squad2", "triviaqa", "lambada_standard",
+              "lambada_openai_cloze", "lambada_openai_mt_fr",
+              "wmt14-en-fr", "wmt20-zh-en", "iwslt17-en-ar"):
+        assert k in TASK_REGISTRY, k
+
+
+def test_math_latex_normalization():
+    from omniquant_tpu.eval.harness.tasks_math import (
+        is_equiv, last_boxed_only_string, remove_boxed, strip_math_string)
+    assert remove_boxed("\\boxed{42}") == "42"
+    assert last_boxed_only_string(
+        "foo \\boxed{1} bar \\boxed{2}") == "\\boxed{2}"
+    assert strip_math_string("\\frac12") == "\\frac{1}{2}"
+    assert strip_math_string("0.5") == "\\frac{1}{2}"
+    assert is_equiv("1/2", "\\frac{1}{2}")
+    assert strip_math_string("x = 3") == "3"
+    assert strip_math_string("50\\%") == "50"
+
+
+def test_gsm8k_answer_extraction():
+    from omniquant_tpu.eval.harness.tasks_math import GradeSchoolMath8K
+    t = GradeSchoolMath8K(data={"train": [], "test": []})
+    assert t._extract_answer("blah blah #### 1,234") == "1234"
+    assert t._extract_answer("no marker") == t.INVALID_ANS
+
+
+def test_drop_metrics():
+    from omniquant_tpu.eval.harness.tasks_gen import drop_metrics
+    em, f1 = drop_metrics(["5"], ("5",))
+    assert em == 1.0 and f1 == 1.0
+    em, f1 = drop_metrics(["five dogs"], ("5 dogs",))
+    assert em == 0.0  # numbers must match
+    em, f1 = drop_metrics(["the cat"], ("cat",))
+    assert em == 1.0  # article-insensitive
+
+
+def test_squad2_thresholds():
+    from omniquant_tpu.eval.harness.tasks_gen import _make_squad2_agg
+    items = [
+        ({"id": "a", "prediction_text": "right", "no_answer_probability": 0.0},
+         {"id": "a", "answers": {"text": ["right"], "answer_start": [0]}}),
+        ({"id": "b", "prediction_text": "wrong", "no_answer_probability": 0.9},
+         {"id": "b", "answers": {"text": [], "answer_start": []}}),
+    ]
+    assert _make_squad2_agg("exact")(items) == 50.0
+    assert _make_squad2_agg("HasAns_exact")(items) == 100.0
+    assert _make_squad2_agg("NoAns_exact")(items) == 0.0
+    # best threshold can flip "b" to unanswerable
+    assert _make_squad2_agg("best_exact")(items) == 100.0
+
+
+def test_mc_taco_grouped_metrics():
+    from omniquant_tpu.eval.harness.tasks_qa import MCTACO
+    items = [(1, 1, "q1"), (0, 0, "q1"), (1, 0, "q2")]
+    assert MCTACO._exact_match(items) == pytest.approx(0.5)
+    assert 0.0 <= MCTACO._f1(items) <= 1.0
+
+
+def test_wsc273_partial_evaluation():
+    from omniquant_tpu.eval.harness.tasks_qa import (
+        WinogradSchemaChallenge273)
+    t = WinogradSchemaChallenge273(data={"test": []})
+    doc = {"text": "The trophy doesn't fit because it is too big.",
+           "pronoun": "it", "pronoun_loc": 31,
+           "options": ["The trophy", "The suitcase"], "label": 0}
+    doc = t._process_doc(doc)
+    ctx = t.partial_context(doc, doc["options"][1])
+    assert ctx.startswith("The trophy doesn't fit because the suitcase")
+    assert t.partial_target(doc) == " is too big."
+
+
+def test_greedy_until_generation(lm):
+    # exercises the jitted bucketed next-token path
+    out = lm.greedy_until([("abcabcabc", ["\n"])])
+    assert len(out) == 1 and isinstance(out[0], str)
+
+
+def test_gsm8k_end_to_end(lm):
+    data = {"train": [], "test": [
+        {"question": "What is 1 plus 1?", "answer": "It is 2\n#### 2"}]}
+    results = simple_evaluate(
+        lm, ["gsm8k"], num_fewshot=0, task_data={"gsm8k": data})
+    assert results["results"]["gsm8k"]["acc"] in (0.0, 1.0)
+
+
+def test_translation_task(lm):
+    data = {"test": [{"src": "hello there", "ref": "bonjour"}]}
+    results = simple_evaluate(
+        lm, ["wmt14-en-fr"], num_fewshot=0,
+        task_data={"wmt14-en-fr": data})
+    r = results["results"]["wmt14-en-fr"]
+    assert "bleu" in r and "chrf" in r and "ter" in r
+
+
+def test_truthfulqa_mc_scoring(lm):
+    data = {"validation": [
+        {"question": "q?",
+         "mc1_targets": {"choices": ["tt", "ff"], "labels": [1, 0]},
+         "mc2_targets": {"choices": ["aa", "bb", "cc"], "labels": [1, 1, 0]}},
+    ]}
+    results = simple_evaluate(
+        lm, ["truthfulqa_mc"], num_fewshot=0,
+        task_data={"truthfulqa_mc": data})
+    r = results["results"]["truthfulqa_mc"]
+    assert 0.0 <= r["mc2"] <= 1.0
