@@ -329,6 +329,24 @@ class Task(abc.ABC):
     def fewshot_description(self):
         return ""
 
+    # decontamination hooks (reference lm_eval/base.py Task):
+    # tasks that opt in expose the text to scan for train-set overlap
+    def should_decontaminate(self):
+        return False
+
+    def doc_to_decontamination_query(self, doc):
+        raise NotImplementedError(
+            "override when should_decontaminate() is True")
+
+    @classmethod
+    def enable_decontamination(cls, query_fn):
+        """Attach the decontamination hooks (query_fn: doc -> str). The
+        reference hand-writes these two methods on ~30 task classes; here
+        the per-task extractors are declared in one table per module."""
+        cls.should_decontaminate = lambda self: True
+        cls.doc_to_decontamination_query = (
+            lambda self, doc, _fn=query_fn: _fn(doc))
+
     def fewshot_context(self, doc, num_fewshot, rnd):
         description = self.fewshot_description()
         description = description + "\n\n" if description else ""

@@ -38,13 +38,18 @@ def get_task_dict(task_names, task_data: Optional[dict] = None):
 def simple_evaluate(lm: LM, tasks: List[str], num_fewshot: int = 0,
                     limit: Optional[int] = None,
                     task_data: Optional[dict] = None,
-                    bootstrap_iters: int = 1000):
+                    bootstrap_iters: int = 1000,
+                    decontamination_train_path: Optional[str] = None,
+                    decontamination_train_docs=None):
     task_names = pattern_match(tasks, TASK_REGISTRY.keys())
     if not task_names:
         raise ValueError(f"no tasks match {tasks}")
     task_dict = get_task_dict(task_names, task_data)
-    results = evaluate(lm, task_dict, num_fewshot=num_fewshot, limit=limit,
-                       bootstrap_iters=bootstrap_iters)
+    results = evaluate(
+        lm, task_dict, num_fewshot=num_fewshot, limit=limit,
+        bootstrap_iters=bootstrap_iters,
+        decontamination_train_path=decontamination_train_path,
+        decontamination_train_docs=decontamination_train_docs)
     results["config"] = {
         "num_fewshot": num_fewshot,
         "limit": limit,
@@ -53,9 +58,18 @@ def simple_evaluate(lm: LM, tasks: List[str], num_fewshot: int = 0,
 
 
 def evaluate(lm: LM, task_dict: dict, num_fewshot: int = 0,
-             limit: Optional[int] = None, bootstrap_iters: int = 1000):
+             limit: Optional[int] = None, bootstrap_iters: int = 1000,
+             decontamination_train_path: Optional[str] = None,
+             decontamination_train_docs=None):
     results = collections.defaultdict(dict)
     versions = {}
+
+    # 13-gram train/test overlap filtering (reference lm_eval/evaluator.py:
+    # 92,135,192-198,221-226): contaminated docs are excluded from a second
+    # "<metric>_decontaminate" aggregation
+    decontaminate = (decontamination_train_path is not None
+                     or decontamination_train_docs is not None)
+    docs_for_decontamination = collections.defaultdict(list)
 
     requests = collections.defaultdict(list)
     requests_origin = collections.defaultdict(list)
@@ -79,6 +93,9 @@ def evaluate(lm: LM, task_dict: dict, num_fewshot: int = 0,
             if limit is not None and doc_id >= limit:
                 break
             docs[(task_name, doc_id)] = doc
+            if decontaminate and task.should_decontaminate():
+                docs_for_decontamination[task_name].append(
+                    task.doc_to_decontamination_query(doc))
             ctx = task.fewshot_context(
                 doc=doc, num_fewshot=num_fewshot, rnd=rnd)
             reqs = task.construct_requests(doc, ctx)
@@ -100,6 +117,15 @@ def evaluate(lm: LM, task_dict: dict, num_fewshot: int = 0,
                 resps, requests_origin[reqtype]):
             process_res_queue[(task_name, doc_id)].append((i, resp))
 
+    overlaps = {}
+    if decontaminate and docs_for_decontamination:
+        from ...decontamination import get_train_overlap
+
+        overlaps = get_train_overlap(
+            dict(docs_for_decontamination),
+            train_docs=decontamination_train_docs,
+            train_path=decontamination_train_path, limit=limit)
+
     vals = collections.defaultdict(list)
     for (task_name, doc_id), reqs in process_res_queue.items():
         reqs.sort(key=lambda x: x[0])
@@ -109,12 +135,16 @@ def evaluate(lm: LM, task_dict: dict, num_fewshot: int = 0,
         metrics = task.process_results(doc, reqs)
         for metric, value in metrics.items():
             vals[(task_name, metric)].append(value)
+            if (decontaminate and task_name in overlaps
+                    and doc_id not in overlaps[task_name]):
+                vals[(task_name, metric + "_decontaminate")].append(value)
 
     for (task_name, metric), items in vals.items():
         task = task_dict[task_name]
-        results[task_name][metric] = task.aggregation()[metric](items)
-        stderr = stderr_for_metric(
-            task.aggregation()[metric], bootstrap_iters)
+        base_metric = metric.removesuffix("_decontaminate")
+        agg = task.aggregation()[base_metric]
+        results[task_name][metric] = agg(items)
+        stderr = stderr_for_metric(agg, bootstrap_iters)
         if stderr is not None:
             results[task_name][metric + "_stderr"] = stderr(items)
 

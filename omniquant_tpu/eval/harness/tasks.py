@@ -617,3 +617,72 @@ TASK_REGISTRY.update(QA_TASKS)
 TASK_REGISTRY.update(MATH_TASKS)
 TASK_REGISTRY.update(GEN_TASKS)
 TASK_REGISTRY.update(TRANSLATION_TASKS)
+
+
+# ---------------------------------------------------------------------------
+# decontamination hooks: which text each task exposes to the 13-gram
+# train/test overlap scan (matches the reference's per-task
+# doc_to_decontamination_query definitions)
+# ---------------------------------------------------------------------------
+
+PIQA.enable_decontamination(lambda d: d["goal"])
+ARCEasy.enable_decontamination(lambda d: d["query"])
+ARCChallenge.enable_decontamination(lambda d: d["query"])
+BoolQ.enable_decontamination(lambda d: d["passage"])
+HellaSwag.enable_decontamination(lambda d: d["query"])
+WinoGrande.enable_decontamination(lambda d: d["sentence"])
+LambadaOpenAI.enable_decontamination(lambda d: d["text"])
+HendrycksTest.enable_decontamination(lambda d: d["query"])
+OpenBookQA.enable_decontamination(lambda d: d["query"])
+SciQ.enable_decontamination(lambda d: d["source"] + " " + d["query"])
+
+from .tasks_blimp import BlimpTask as _BlimpTask  # noqa: E402
+from .tasks_gen import (  # noqa: E402
+    CoQA as _CoQA, DROP as _DROP, LambadaStandard as _LambadaStandard,
+    SQuAD2 as _SQuAD2, TriviaQA as _TriviaQA,
+    TruthfulQAGeneration as _TQAGen, TruthfulQAMultipleChoice as _TQAMC)
+from .tasks_math import (  # noqa: E402
+    Arithmetic as _Arithmetic, Asdiv as _Asdiv, EthicsCM as _EthicsCM,
+    EthicsDeontology as _EthicsDeontology, EthicsJustice as _EthicsJustice,
+    EthicsVirtue as _EthicsVirtue, Math as _Math,
+    WordUnscrambleTask as _Unscramble)
+from .tasks_qa import (  # noqa: E402
+    ANLIBase as _ANLIBase, HeadQABase as _HeadQABase, LogiQA as _LogiQA,
+    MCTACO as _MCTACO, MathQA as _MathQA, MuTualBase as _MuTualBase,
+    PROST as _PROST, PubmedQA as _PubmedQA, QA4MRE as _QA4MRE, RACE as _RACE,
+    WebQs as _WebQs, WinogradSchemaChallenge273 as _WSC273)
+from .tasks_translation import GeneralTranslationTask as _Translation  # noqa: E402
+
+_BlimpTask.enable_decontamination(
+    lambda d: d["sentence_good"] + " " + d["sentence_bad"])
+_ANLIBase.enable_decontamination(lambda d: d["premise"])
+_WebQs.enable_decontamination(lambda d: d["question"])
+_LogiQA.enable_decontamination(lambda d: d["query"])
+_MathQA.enable_decontamination(lambda d: d["query"])
+_RACE.enable_decontamination(lambda d: d["article"])
+_WSC273.enable_decontamination(lambda d: d["text"])
+_HeadQABase.enable_decontamination(lambda d: d["query"])
+_PubmedQA.enable_decontamination(
+    lambda d: d["question"] + " " + "\n".join(d["context"]["contexts"]))
+_QA4MRE.enable_decontamination(lambda d: d["source"] + " " + d["query"])
+_PROST.enable_decontamination(lambda d: d["query"])
+_MCTACO.enable_decontamination(lambda d: d["question"] + " " + d["sentence"])
+_MuTualBase.enable_decontamination(lambda d: d["article"])
+_Math.enable_decontamination(lambda d: d["problem"])
+_Asdiv.enable_decontamination(lambda d: d["body"] + " " + d["question"])
+_Arithmetic.enable_decontamination(lambda d: d["context"])
+_Unscramble.enable_decontamination(lambda d: d["context"])
+_EthicsCM.enable_decontamination(lambda d: d["input"])
+_EthicsDeontology.enable_decontamination(
+    lambda d: " ".join([d["scenario"], d["excuse"]]))
+_EthicsJustice.enable_decontamination(lambda d: d["scenario"])
+_EthicsVirtue.enable_decontamination(lambda d: d["scenario"])
+_TQAMC.enable_decontamination(lambda d: d["question"])
+_TQAGen.enable_decontamination(lambda d: d["question"])
+_LambadaStandard.enable_decontamination(lambda d: d["text"])
+_SQuAD2.enable_decontamination(lambda d: d["context"])
+_CoQA.enable_decontamination(
+    lambda d: d["story"] + " " + "\n".join(d["questions"]["input_text"]))
+_DROP.enable_decontamination(lambda d: d["passage"] + " " + d["question"])
+_TriviaQA.enable_decontamination(lambda d: d["question"])
+_Translation.enable_decontamination(lambda d: d["src"])

@@ -381,3 +381,23 @@ def test_truthfulqa_mc_scoring(lm):
         task_data={"truthfulqa_mc": data})
     r = results["results"]["truthfulqa_mc"]
     assert 0.0 <= r["mc2"] <= 1.0
+
+
+def test_decontamination_filtering(lm):
+    """Docs overlapping an injected training corpus are excluded from the
+    <metric>_decontaminate aggregation."""
+    contaminated_goal = ("the quick brown fox jumps over the lazy dog and "
+                         "then runs far away into the deep dark woods today")
+    clean_goal = ("a completely different sentence about cooking pasta with "
+                  "garlic olive oil and fresh basil leaves for dinner")
+    data = {"train": [], "validation": [
+        {"goal": contaminated_goal, "sol1": "a", "sol2": "b", "label": 0},
+        {"goal": clean_goal, "sol1": "c", "sol2": "d", "label": 1},
+    ]}
+    res = simple_evaluate(
+        lm, ["piqa"], num_fewshot=0, task_data={"piqa": data},
+        decontamination_train_docs=[
+            "some corpus text. " + contaminated_goal + " more text."])
+    r = res["results"]["piqa"]
+    assert "acc_decontaminate" in r
+    assert 0.0 <= r["acc_decontaminate"] <= 1.0

@@ -92,3 +92,57 @@ def test_kernel_fallback_odd_n():
     got = quant_matmul(x, pw)
     ref = quant_matmul_reference(x, pw)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# fused int8-KV decode attention
+# ---------------------------------------------------------------------------
+
+def test_decode_attention_int8_matches_oracle():
+    from omniquant_tpu.kernels.decode_attention import (
+        decode_attention_int8, decode_attention_int8_reference)
+
+    rng = np.random.default_rng(0)
+    for (B, n_kv, n_rep, kv_len, hd, max_len) in [
+            (4, 4, 1, 64, 128, 64),     # MHA, window == cache
+            (2, 2, 4, 128, 128, 512),   # GQA, window < cache
+            (3, 8, 2, 256, 128, 256)]:
+        n_heads = n_kv * n_rep
+        q = jnp.asarray(rng.standard_normal((B, n_heads, hd)), jnp.bfloat16)
+        kc = jnp.asarray(
+            rng.integers(-127, 128, (B, n_kv, max_len, hd)), jnp.int8)
+        vc = jnp.asarray(
+            rng.integers(-127, 128, (B, n_kv, max_len, hd)), jnp.int8)
+        ks = jnp.asarray(
+            rng.uniform(0.001, 0.02, (B, n_kv, max_len)), jnp.float32)
+        vs = jnp.asarray(
+            rng.uniform(0.001, 0.02, (B, n_kv, max_len)), jnp.float32)
+        lengths = jnp.asarray(rng.integers(0, kv_len - 1, (B,)), jnp.int32)
+        ss = 1.0 / np.sqrt(hd)
+        got = decode_attention_int8(
+            q, kc, ks, vc, vs, lengths, kv_len, ss, out_dtype=jnp.float32)
+        want = decode_attention_int8_reference(
+            q, kc, ks, vc, vs, lengths, kv_len, ss, out_dtype=jnp.float32)
+        rel = float(jnp.max(jnp.abs(got - want))
+                    / jnp.max(jnp.abs(want)))
+        assert rel < 1e-3, (B, n_kv, n_rep, kv_len, rel)
+
+
+def test_engine_attn_kernel_matches_xla_path():
+    from omniquant_tpu.models import llama as jllama
+    from omniquant_tpu.serving.engine import LlamaEngine
+
+    cfg = jllama.LlamaConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128,
+    )
+    params = jllama.init_params(jax.random.PRNGKey(0), cfg)
+    prompt = [5, 17, 99, 3]
+    eng_k = LlamaEngine(params, cfg, max_batch=2, max_len=64,
+                        dtype=jnp.float32, kv_dtype="int8", attn_kernel=True)
+    eng_x = LlamaEngine(params, cfg, max_batch=2, max_len=64,
+                        dtype=jnp.float32, kv_dtype="int8", attn_kernel=False)
+    got_k = eng_k.generate(prompt, max_new_tokens=8)
+    got_x = eng_x.generate(prompt, max_new_tokens=8)
+    assert got_k == got_x, (got_k, got_x)
