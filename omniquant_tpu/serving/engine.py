@@ -591,6 +591,19 @@ class FalconEngine(LlamaEngine):
         from ..models.common import layer_norm
 
         cfg = self._fcfg
+        if cfg.alibi:
+            # fold slopes*key_pos*inv_norm into the additive mask, matching
+            # the eval path (models/falcon.py block_forward); softmax shift
+            # invariance makes absolute key positions equivalent to the
+            # relative formulation
+            from ..models.falcon import alibi_slopes
+
+            kv_len = mask.shape[-1]
+            dist = jnp.arange(kv_len, dtype=jnp.float32)
+            bias = (alibi_slopes(cfg.num_attention_heads)[:, None, None]
+                    * dist[None, None, :]
+                    * (1.0 / cfg.head_dim**0.5)).astype(mask.dtype)
+            mask = mask + bias[None]
         residual = x
         if cfg.new_decoder_architecture:
             attn_ln = layer_norm(x, p["ln_attn"], cfg.layer_norm_eps)

@@ -169,6 +169,7 @@ def test_step_n_matches_single_steps(tiny_llama):
 @pytest.mark.parametrize("kw", [
     dict(multi_query=True, parallel_attn=True),    # falcon-7b style
     dict(multi_query=False, parallel_attn=False),  # classic
+    dict(multi_query=False, parallel_attn=False, alibi=True),  # rw-1b style
 ])
 def test_falcon_engine_matches_full_forward(kw):
     from omniquant_tpu.models import falcon as jfalcon
@@ -176,7 +177,7 @@ def test_falcon_engine_matches_full_forward(kw):
 
     cfg = jfalcon.FalconConfig(
         vocab_size=128, hidden_size=32, num_hidden_layers=2,
-        num_attention_heads=4, bias=False, alibi=False, **kw)
+        num_attention_heads=4, bias=False, **{"alibi": False, **kw})
     params = jfalcon.init_params(jax.random.PRNGKey(4), cfg)
     eng = FalconEngine(params, cfg, max_batch=2, max_len=64,
                        dtype=jnp.float32)
