@@ -36,15 +36,15 @@ from .quantizer import QuantConfig, quantize_weight_int
 
 
 def vals_per_word(bits: int) -> int:
-    """Values per int32 word for power-of-two widths. 3-bit uses a 2+1
-    bitplane decomposition (see pack_codes) rather than n-per-word packing,
-    so it has no single vals_per_word."""
+    """Values per int32 word for power-of-two widths. 3-bit (2+1) and 6-bit
+    (4+2) use bitplane decompositions (see pack_codes) rather than n-per-word
+    packing, so they have no single vals_per_word."""
     return {1: 32, 2: 16, 4: 8, 8: 4}[bits]
 
 
 def words_per_rows(bits: int, rows: int) -> int:
     """int32 words storing `rows` values at `bits` each — exact for every
-    supported width (3-bit = 2-bit plane + 1-bit plane)."""
+    supported width (3-bit = 2+1 planes, 6-bit = 4+2 planes)."""
     assert (rows * bits) % 32 == 0, (bits, rows)
     return rows * bits // 32
 
