@@ -25,6 +25,7 @@ import numpy as np
 from ..models.common import ActQuantSpec, NO_ACT_QUANT, linear, repeat_kv, rms_norm
 from ..models import llama as jllama
 from ..quant.packing import PackedWeight
+from .sampling import sample_tokens
 
 
 def fuse_packed(pws: List[PackedWeight]) -> Optional[PackedWeight]:
@@ -99,7 +100,7 @@ class LlamaEngine:
                  max_batch: int = 8, max_len: int = 2048,
                  dtype=jnp.bfloat16, kv_dtype: str = "native",
                  spec: ActQuantSpec = NO_ACT_QUANT,
-                 attn_kernel: Optional[bool] = None):
+                 attn_kernel: Optional[bool] = None, seed: int = 0):
         self.cfg = cfg
         self.max_batch = max_batch
         self.max_len = max_len
@@ -149,14 +150,38 @@ class LlamaEngine:
         # host-side slot state
         self.lengths = np.zeros(max_batch, np.int32)
         self.active = np.zeros(max_batch, bool)
+        # per-slot sampling controls (temperature <= 0 = greedy); sampling
+        # happens on device inside the decode step so the host link still
+        # only carries (B,) int32 tokens
+        self.temps = np.zeros(max_batch, np.float32)
+        self.top_ks = np.zeros(max_batch, np.int32)
+        self.top_ps = np.ones(max_batch, np.float32)
+        self._base_key = jax.random.PRNGKey(seed)
+        self._dispatch = 0  # folds into the key once per device dispatch
 
         self._prefill = jax.jit(self._prefill_impl, donate_argnums=(1,),
-                                static_argnames=("seq_len",))
+                                static_argnames=("seq_len", "do_sample"))
         self._decode = jax.jit(self._decode_impl, donate_argnums=(1,),
-                               static_argnames=("kv_len",))
+                               static_argnames=("kv_len", "do_sample"))
         self._decode_multi = jax.jit(
             self._decode_multi_impl, donate_argnums=(1,),
-            static_argnames=("kv_len", "n_steps"))
+            static_argnames=("kv_len", "n_steps", "do_sample"))
+
+    def _next_key(self):
+        key = jax.random.fold_in(self._base_key, self._dispatch)
+        self._dispatch += 1
+        return key
+
+    def _do_sample(self) -> bool:
+        """Static sampling toggle: greedy-only batches keep the pure-argmax
+        program (no (B, V) sort in the step)."""
+        return bool(np.any(self.temps[self.active] > 0.0))
+
+    def _select(self, logits, key, temps, top_ks, top_ps, do_sample: bool):
+        """(B, V) logits -> (B,) int32 next tokens."""
+        if not do_sample:
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return sample_tokens(logits, key, temps, top_ks, top_ps)
 
     # ------------------------------------------------------------------
     def _write_kv(self, cache: KVCache, li, slot, pos, k_new, v_new):
@@ -273,9 +298,10 @@ class LlamaEngine:
 
     # ------------------------------------------------------------------
     def _prefill_impl(self, params, cache: KVCache, tokens, slot, last_idx,
-                      seq_len: int):
+                      key, temps, top_ks, top_ps,
+                      seq_len: int, do_sample: bool = False):
         """Prefill one slot with `tokens` (1, seq_len — bucket-padded);
-        returns (cache, logits at position last_idx)."""
+        returns (cache, first sampled token)."""
         cfg = self.cfg
         positions = jnp.arange(seq_len)
         x = self._embed(params, tokens, positions[None])
@@ -291,10 +317,12 @@ class LlamaEngine:
             x = self._block(p, x, positions, mask, commit)
         last = jax.lax.dynamic_slice_in_dim(x, last_idx, 1, axis=1)
         logits = self._head(params, last)
-        return cache, jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+        return cache, self._select(
+            logits[:, 0], key, temps, top_ks, top_ps, do_sample)
 
     def _decode_impl(self, params, cache: KVCache, last_tokens, lengths,
-                     kv_len: int):
+                     key, temps, top_ks, top_ps,
+                     kv_len: int, do_sample: bool = False):
         """One decode step for all slots. last_tokens (B,), lengths (B,)
         = tokens already in cache. kv_len (static) bounds the attention
         window — the cache is only *read* up to kv_len slots (caller buckets
@@ -344,13 +372,16 @@ class LlamaEngine:
                 return self._read_kv(cache, _li, kv_len)
             x = self._block(p, x, positions, mask, commit)
         logits = self._head(params, x)
-        # greedy selection on device: the host only ever transfers (B,)
+        # token selection on device: the host only ever transfers (B,)
         # int32 tokens — shipping full (B, vocab) logits through the host
         # link dominated step time (151ms -> ~1ms on the tunneled chip)
-        return cache, jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+        return cache, self._select(
+            logits[:, 0], key, temps, top_ks, top_ps, do_sample)
 
     def _decode_multi_impl(self, params, cache: KVCache, last_tokens,
-                           lengths, kv_len: int, n_steps: int):
+                           lengths, key, temps, top_ks, top_ps,
+                           kv_len: int, n_steps: int,
+                           do_sample: bool = False):
         """n_steps greedy decode steps entirely on device (one host round
         trip amortizes over n tokens per slot — the host link latency, not
         compute, bounds per-step serving on high-latency interconnects).
@@ -361,29 +392,42 @@ class LlamaEngine:
         aliases the donated buffers like sequential calls do."""
         toks, lens = last_tokens, lengths
         outs = []
-        for _ in range(n_steps):
-            cache, toks = self._decode_impl(params, cache, toks, lens, kv_len)
+        for i in range(n_steps):
+            cache, toks = self._decode_impl(
+                params, cache, toks, lens, jax.random.fold_in(key, i),
+                temps, top_ks, top_ps, kv_len, do_sample)
             lens = lens + 1
             outs.append(toks)
         return cache, jnp.stack(outs, axis=1)
 
     # ------------------------------------------------------------------
     # host-side continuous batching API
-    def add_request(self, tokens) -> int:
-        """Prefill `tokens` (list[int]) into a free slot; returns slot id."""
+    def add_request(self, tokens, temperature: float = 0.0,
+                    top_k: int = 0, top_p: float = 1.0) -> int:
+        """Prefill `tokens` (list[int]) into a free slot; returns slot id.
+
+        temperature <= 0 = greedy; top_k = 0 and top_p = 1.0 disable the
+        respective filters. Controls are per-request and live for the
+        slot's lifetime (continuous batching mixes them in one step)."""
         free = np.where(~self.active)[0]
         if len(free) == 0:
             raise RuntimeError("no free slots")
         slot = int(free[0])
+        self.temps[slot] = temperature
+        self.top_ks[slot] = top_k
+        self.top_ps[slot] = top_p
         t = np.asarray(tokens, np.int32)
         # bucket prompt lengths to powers of two so prefill compiles O(log)
         # distinct shapes; pads land beyond `length` and are never attended
         bucket = max(16, 1 << int(np.ceil(np.log2(len(t)))))
         padded = np.zeros(bucket, np.int32)
         padded[: len(t)] = t
+        sl = slice(slot, slot + 1)
         self.cache, logits = self._prefill(
             self.params, self.cache, jnp.asarray(padded[None]), slot,
-            len(t) - 1, seq_len=bucket)
+            len(t) - 1, self._next_key(), jnp.asarray(self.temps[sl]),
+            jnp.asarray(self.top_ks[sl]), jnp.asarray(self.top_ps[sl]),
+            seq_len=bucket, do_sample=bool(temperature > 0.0))
         self.active[slot] = True
         self.lengths[slot] = len(tokens)
         self._pending_next = {slot: int(np.asarray(logits)[0])}
@@ -392,6 +436,9 @@ class LlamaEngine:
     def release(self, slot: int):
         self.active[slot] = False
         self.lengths[slot] = 0
+        self.temps[slot] = 0.0
+        self.top_ks[slot] = 0
+        self.top_ps[slot] = 1.0
 
     def step(self, last_tokens: dict) -> dict:
         """One decode step. last_tokens: {slot: token}. Returns
@@ -406,7 +453,10 @@ class LlamaEngine:
                      max(64, 1 << int(np.ceil(np.log2(longest + 1)))))
         self.cache, next_tokens = self._decode(
             self.params, self.cache, jnp.asarray(toks),
-            jnp.asarray(self.lengths), kv_len=kv_len)
+            jnp.asarray(self.lengths), self._next_key(),
+            jnp.asarray(self.temps), jnp.asarray(self.top_ks),
+            jnp.asarray(self.top_ps), kv_len=kv_len,
+            do_sample=self._do_sample())
         out = {}
         next_tokens = np.asarray(next_tokens)  # (B,) int32 — tiny transfer
         for s in last_tokens:
@@ -427,7 +477,10 @@ class LlamaEngine:
                      max(64, 1 << int(np.ceil(np.log2(longest + n + 1)))))
         self.cache, out = self._decode_multi(
             self.params, self.cache, jnp.asarray(toks),
-            jnp.asarray(self.lengths), kv_len=kv_len, n_steps=n)
+            jnp.asarray(self.lengths), self._next_key(),
+            jnp.asarray(self.temps), jnp.asarray(self.top_ks),
+            jnp.asarray(self.top_ps), kv_len=kv_len, n_steps=n,
+            do_sample=self._do_sample())
         out = np.asarray(out)
         res = {}
         for s in last_tokens:
@@ -435,9 +488,12 @@ class LlamaEngine:
             res[s] = out[s].tolist()
         return res
 
-    def generate(self, prompt_tokens, max_new_tokens: int = 32) -> list:
-        """Greedy single-request convenience wrapper."""
-        slot = self.add_request(prompt_tokens)
+    def generate(self, prompt_tokens, max_new_tokens: int = 32,
+                 temperature: float = 0.0, top_k: int = 0,
+                 top_p: float = 1.0) -> list:
+        """Single-request convenience wrapper (greedy by default)."""
+        slot = self.add_request(prompt_tokens, temperature=temperature,
+                                top_k=top_k, top_p=top_p)
         next_tok = self._pending_next[slot]
         out = [next_tok]
         for _ in range(max_new_tokens - 1):
