@@ -100,7 +100,8 @@ class LlamaEngine:
                  max_batch: int = 8, max_len: int = 2048,
                  dtype=jnp.bfloat16, kv_dtype: str = "native",
                  spec: ActQuantSpec = NO_ACT_QUANT,
-                 attn_kernel: Optional[bool] = None, seed: int = 0):
+                 attn_kernel: Optional[bool] = None, seed: int = 0,
+                 flash_min_len: int = 256):
         self.cfg = cfg
         self.max_batch = max_batch
         self.max_len = max_len
@@ -116,6 +117,10 @@ class LlamaEngine:
         if attn_kernel is None:
             attn_kernel = False
         self.attn_kernel = attn_kernel and self.kv_int8
+        # blockwise (flash) attention for prefill at/above this prompt
+        # length: O(block²) working set instead of the (S, S) score matrix.
+        # Engines whose mask carries extra content (falcon ALiBi) disable it.
+        self.flash_min_len = flash_min_len
         self.spec = spec
         self.params = jax.tree.map(
             lambda x: x.astype(dtype) if (
@@ -171,6 +176,11 @@ class LlamaEngine:
         key = jax.random.fold_in(self._base_key, self._dispatch)
         self._dispatch += 1
         return key
+
+    def _flash_ok(self) -> bool:
+        """Whether the plain-causal flash prefill path is valid for this
+        engine (falcon ALiBi folds bias into the mask, so it is not)."""
+        return True
 
     def _do_sample(self) -> bool:
         """Static sampling toggle: greedy-only batches keep the pure-argmax
@@ -279,6 +289,17 @@ class LlamaEngine:
                 float(cfg.head_dim) ** -0.5, out_dtype=self.dtype)
             return self._attn_out(p, attn.reshape(b, s, -1))
         k_all, v_all = committed
+        if (s >= max(2, self.flash_min_len) and k_all.shape[2] == s
+                and self._flash_ok()):
+            # prefill fast path (fresh same-length k/v, plain causal mask):
+            # blockwise flash kernel — never materializes the (s, s) scores
+            from ..kernels.flash_attention import flash_attention
+
+            attn = flash_attention(
+                q, k_all, v_all, sm_scale=float(cfg.head_dim) ** -0.5,
+                causal=True)
+            attn = attn.transpose(0, 2, 1, 3).reshape(b, s, -1)
+            return self._attn_out(p, attn)
         k_r = repeat_kv(k_all, cfg.n_rep)
         v_r = repeat_kv(v_all, cfg.n_rep)
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k_r) / (cfg.head_dim**0.5)
@@ -614,6 +635,9 @@ class FalconEngine(LlamaEngine):
         a.rope_theta = cfg.rope_theta
         a.hidden_size = cfg.hidden_size
         super().__init__(params, a, **kw)
+
+    def _flash_ok(self) -> bool:
+        return not self._fcfg.alibi
 
     def _embed(self, params, tokens, positions):
         from ..models import falcon as jfalcon
