@@ -87,11 +87,10 @@ def main():
                       dtype=jnp.bfloat16)
     rng = np.random.default_rng(1)
     t0 = time.time()
-    last = {}
-    for _ in range(BATCH):
-        slot = eng.add_request(list(rng.integers(0, 32000, PREFILL_LEN)))
-        last[slot] = eng._pending_next[slot]
-    print(f"# prefill {BATCH}x{PREFILL_LEN} in {time.time() - t0:.0f}s "
+    prompts = [list(rng.integers(0, 32000, PREFILL_LEN)) for _ in range(BATCH)]
+    slots = eng.add_requests(prompts)  # batched prefill: one dispatch
+    last = {s: eng._pending_next[s] for s in slots}
+    print(f"# batched prefill {BATCH}x{PREFILL_LEN} in {time.time() - t0:.0f}s "
           "(incl. compile)", file=sys.stderr)
 
     # warm both decode paths

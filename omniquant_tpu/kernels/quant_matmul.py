@@ -57,8 +57,8 @@ def _unpack_tile(qw, bits: int, bk: int):
 def _qmm_kernel(x_ref, qw_ref, sc_ref, zp_ref, out_ref, acc_ref,
                 *, bits: int, bk: int, bn: int, gs_rows: int,
                 grouped: bool, out_dtype):
-    nk = pl.num_programs(1)
-    k = pl.program_id(1)
+    nk = pl.num_programs(2)
+    k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
@@ -101,7 +101,13 @@ def _qmm_call(x, qweight, scales_t, zeros_t, bits, group_size,
     bn = block_n
     gs_rows = group_size if group_size else bk
     nk = k_pad // bk
-    grid = (n // bn, nk)
+    # tile M so large-batch/prefill GEMMs keep the x tile + f32 accumulator
+    # inside scoped VMEM (decode's m stays a single tile: nm == 1)
+    bm = min(256, -(-m // 8) * 8)
+    m_pad = -(-m // bm) * bm
+    if m_pad != m:
+        x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
+    grid = (m_pad // bm, n // bn, nk)
 
     # reshape scales / (-zero*scale) offsets into per-K-tile slabs
     # (nk, ngp, n): slab j holds the groups of K tile j, sublane-padded to 8
@@ -127,34 +133,35 @@ def _qmm_call(x, qweight, scales_t, zeros_t, bits, group_size,
         grouped=bool(group_size), out_dtype=x.dtype)
 
     sc_spec = pl.BlockSpec(
-        (1, ngp, bn), lambda i, j: (j, 0, i), memory_space=pltpu.VMEM)
+        (1, ngp, bn), lambda im, i, j: (j, 0, i), memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((m, bk), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, bk), lambda im, i, j: (im, j),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((words_per_rows(bits, bk), bn),
-                         lambda i, j: (j, i), memory_space=pltpu.VMEM),
+                         lambda im, i, j: (j, i), memory_space=pltpu.VMEM),
             sc_spec,
             sc_spec,
         ],
-        out_specs=pl.BlockSpec((m, bn), lambda i, j: (0, i),
+        out_specs=pl.BlockSpec((bm, bn), lambda im, i, j: (im, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
-        scratch_shapes=[pltpu.VMEM((m, bn), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * m * k_pad * n,
+            flops=2 * m_pad * k_pad * n,
             bytes_accessed=(qweight.size * 4 + x.size * x.dtype.itemsize
-                            + m * n * x.dtype.itemsize),
+                            + m_pad * n * x.dtype.itemsize),
             transcendentals=0,
         ),
         interpret=interpret,
     )(x, qweight, scales_t, offsets_t)
-    return out
+    return out[:m] if m_pad != m else out
 
 
 def quant_matmul(x: jax.Array, pw: PackedWeight, block_n: int = 1024,

@@ -164,8 +164,12 @@ class LlamaEngine:
         self._base_key = jax.random.PRNGKey(seed)
         self._dispatch = 0  # folds into the key once per device dispatch
 
+        self._pending_next = {}
         self._prefill = jax.jit(self._prefill_impl, donate_argnums=(1,),
                                 static_argnames=("seq_len", "do_sample"))
+        self._prefill_multi = jax.jit(
+            self._prefill_multi_impl, donate_argnums=(1,),
+            static_argnames=("seq_len", "do_sample"))
         self._decode = jax.jit(self._decode_impl, donate_argnums=(1,),
                                static_argnames=("kv_len", "do_sample"))
         self._decode_multi = jax.jit(
@@ -341,6 +345,48 @@ class LlamaEngine:
         return cache, self._select(
             logits[:, 0], key, temps, top_ks, top_ps, do_sample)
 
+    def _prefill_multi_impl(self, params, cache: KVCache, tokens, slots,
+                            last_idx, key, temps, top_ks, top_ps,
+                            seq_len: int, do_sample: bool = False):
+        """Prefill N requests in ONE dispatch. tokens (N, seq_len) padded to
+        a common bucket, slots (N,) target cache slots, last_idx (N,) each
+        prompt's final position. One compiled program per (N, bucket) pair
+        serves any slot assignment; blocks run at batch N so the MXU sees
+        N× the prefill work per launch. Returns (cache, (N,) first tokens)."""
+        positions = jnp.arange(seq_len)
+        x = self._embed(params, tokens, positions[None])
+        neg = jnp.finfo(self.dtype).min
+        mask = jnp.where(
+            positions[None, :] <= positions[:, None], 0.0, neg
+        ).astype(self.dtype)[None, None]
+        for li, p in enumerate(params["layers"]):
+            def commit(k, v, _li=li):
+                nonlocal cache
+                ck, cv = list(cache.k), list(cache.v)
+                if self.kv_int8:
+                    kc, ks = _quantize_kv(k)
+                    vc, vs = _quantize_kv(v)
+                    cks, cvs = list(cache.k_scale), list(cache.v_scale)
+                    ck[_li] = cache.k[_li].at[slots, :, :seq_len].set(kc)
+                    cv[_li] = cache.v[_li].at[slots, :, :seq_len].set(vc)
+                    cks[_li] = cache.k_scale[_li].at[
+                        slots, :, :seq_len].set(ks)
+                    cvs[_li] = cache.v_scale[_li].at[
+                        slots, :, :seq_len].set(vs)
+                    cache = KVCache(ck, cv, cks, cvs)
+                else:
+                    ck[_li] = cache.k[_li].at[slots, :, :seq_len].set(
+                        k.astype(cache.k[_li].dtype))
+                    cv[_li] = cache.v[_li].at[slots, :, :seq_len].set(
+                        v.astype(cache.v[_li].dtype))
+                    cache = KVCache(ck, cv, None, None)
+                return k, v
+            x = self._block(p, x, positions, mask, commit)
+        last = jnp.take_along_axis(x, last_idx[:, None, None], axis=1)
+        logits = self._head(params, last)
+        return cache, self._select(
+            logits[:, 0], key, temps, top_ks, top_ps, do_sample)
+
     def _decode_impl(self, params, cache: KVCache, last_tokens, lengths,
                      key, temps, top_ks, top_ps,
                      kv_len: int, do_sample: bool = False):
@@ -451,8 +497,45 @@ class LlamaEngine:
             seq_len=bucket, do_sample=bool(temperature > 0.0))
         self.active[slot] = True
         self.lengths[slot] = len(tokens)
-        self._pending_next = {slot: int(np.asarray(logits)[0])}
+        self._pending_next[slot] = int(np.asarray(logits)[0])
         return slot
+
+    def add_requests(self, requests, temperature: float = 0.0,
+                     top_k: int = 0, top_p: float = 1.0) -> list:
+        """Prefill several prompts in ONE device dispatch (batched prefill).
+
+        requests: list of token lists. All prompts share one bucket (the
+        power-of-two ceiling of the longest), so one compiled program per
+        (count, bucket) pair; shorter prompts ride along with pad tokens
+        whose cache entries are never attended. Returns the slot ids; first
+        sampled tokens land in `_pending_next`."""
+        free = np.where(~self.active)[0]
+        if len(free) < len(requests):
+            raise RuntimeError(
+                f"need {len(requests)} free slots, have {len(free)}")
+        slots = free[: len(requests)].astype(np.int32)
+        longest = max(len(r) for r in requests)
+        bucket = max(16, 1 << int(np.ceil(np.log2(longest))))
+        toks = np.zeros((len(requests), bucket), np.int32)
+        last_idx = np.zeros(len(requests), np.int32)
+        for i, r in enumerate(requests):
+            toks[i, : len(r)] = np.asarray(r, np.int32)
+            last_idx[i] = len(r) - 1
+        self.temps[slots] = temperature
+        self.top_ks[slots] = top_k
+        self.top_ps[slots] = top_p
+        self.cache, first = self._prefill_multi(
+            self.params, self.cache, jnp.asarray(toks), jnp.asarray(slots),
+            jnp.asarray(last_idx), self._next_key(),
+            jnp.asarray(self.temps[slots]), jnp.asarray(self.top_ks[slots]),
+            jnp.asarray(self.top_ps[slots]),
+            seq_len=bucket, do_sample=bool(temperature > 0.0))
+        first = np.asarray(first)
+        for i, s in enumerate(slots):
+            self.active[s] = True
+            self.lengths[s] = len(requests[i])
+            self._pending_next[int(s)] = int(first[i])
+        return [int(s) for s in slots]
 
     def release(self, slot: int):
         self.active[slot] = False
