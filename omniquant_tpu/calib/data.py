@@ -78,9 +78,15 @@ def get_c4(nsamples, seed, seqlen, tokenizer, new: bool = False):
         while True:
             i = rng.randint(0, len(train) - 1)
             enc = np.asarray(tokenizer(train[i]["text"]).input_ids, np.int32)
+            # accept at >= seqlen, exactly like the reference (datautils.py:96)
             if enc.shape[0] >= seqlen:
                 break
-        i = rng.randint(0, enc.shape[0] - seqlen - 1)
+        # The reference draws randint(0, len - seqlen - 1) (datautils.py:98),
+        # which CRASHES when len == seqlen (randint over an empty range). We
+        # clamp the upper bound to 0 there: bit-identical draw sequence
+        # everywhere the reference doesn't crash, and a defined window (the
+        # whole doc) where it does.
+        i = rng.randint(0, max(0, enc.shape[0] - seqlen - 1))
         windows[s] = enc[i : i + seqlen]
 
     if new:
@@ -95,7 +101,7 @@ def get_c4(nsamples, seed, seqlen, tokenizer, new: bool = False):
                 enc = np.asarray(tokenizer(val[i]["text"]).input_ids, np.int32)
                 if enc.shape[0] >= seqlen:
                     break
-            i = rng.randint(0, enc.shape[0] - seqlen - 1)
+            i = rng.randint(0, max(0, enc.shape[0] - seqlen - 1))
             parts.append(enc[i : i + seqlen])
         valenc = np.concatenate(parts)
     return windows, valenc[None]

@@ -172,8 +172,29 @@ def calibrate(
 
     opt = make_optimizer()
 
+    def _truncate_stored_let(trainable):
+        """Truncate the STORED smooth-scale params, as the reference does
+        in-place at the top of every smooth_and_quant_temporary call
+        (`module.data = truncate_number(module)`, int_llama_layer.py:283-285).
+        Without this the optimizer trajectory diverges from the reference
+        whenever a scale dips below the 1e-2 threshold: the reference's next
+        step starts from the truncated value, ours would start from the raw
+        one. Applied outside the grad; effective_block_weights' own
+        truncate_number is then an identity on these values (idempotent)."""
+        if "let" not in trainable:
+            return trainable
+        from ..quant.transform import _truncate_fwd_value
+
+        trainable = dict(trainable)
+        trainable["let"] = {
+            k: (_truncate_fwd_value(v, 1e-2) if "smooth_scale" in k else v)
+            for k, v in trainable["let"].items()
+        }
+        return trainable
+
     @jax.jit
     def train_step(trainable, opt_state, layer, qin, fp_out, fp_out_2):
+        trainable = _truncate_stored_let(trainable)
         loss, grads = jax.value_and_grad(loss_fn)(
             trainable, layer, qin, fp_out, fp_out_2)
         gnorm = optax.global_norm(grads)

@@ -192,14 +192,19 @@ def init_let_params(p: dict, cfg: LlamaConfig, act_scales: Optional[dict],
                     alpha: float = 0.5, dtype=jnp.float32) -> dict:
     """Initialize LET scale/shift params for one block.
 
-    scale = act_scale^alpha / colmax(|W|)^(1-alpha), clamped >= 1e-5
+    scale = act_scale^alpha / colmax(W)^(1-alpha), clamped >= 1e-5
     (reference quantize/omniquant.py:182-197); shifts start at zero for
     llama (reference :192-195); qkt scale starts at ones (:184).
     act_scales keys: 'q_proj', 'up_proj', 'o_proj' per-block slices.
+
+    NOTE: the reference's weight statistic is the PLAIN per-column max
+    (`module.weight.max(dim=0)[0].clamp(min=1e-5)`, omniquant.py:191), not
+    the absolute max — columns whose max is negative clamp to 1e-5. We
+    reproduce that exactly (verified in tests/test_reference_parity.py).
     """
     def scale_for(name, fallback_dim):
         w = p[name]["weight"]
-        wmax = jnp.clip(jnp.max(jnp.abs(w), axis=0), 1e-5, None)
+        wmax = jnp.clip(jnp.max(w, axis=0), 1e-5, None)
         if act_scales is not None and name in act_scales:
             a = jnp.clip(jnp.asarray(act_scales[name], dtype), 1e-5, None)
         else:

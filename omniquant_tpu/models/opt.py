@@ -150,7 +150,8 @@ def init_let_params(p: dict, cfg: OPTConfig, act_scales: Optional[dict],
     the EMA midrange stats."""
     def scale_for(name, dim):
         w = p[name]["weight"]
-        wmax = jnp.clip(jnp.max(jnp.abs(w), axis=0), 1e-5, None)
+        # plain max, not absmax — matches reference omniquant.py:191 exactly
+        wmax = jnp.clip(jnp.max(w, axis=0), 1e-5, None)
         if act_scales is not None and name in act_scales:
             a = jnp.clip(jnp.asarray(act_scales[name], dtype), 1e-5, None)
         else:

@@ -123,12 +123,23 @@ def _scale_zp(xmin, xmax, cfg: QuantConfig):
     return scale, round_zero_point
 
 
+def _clip_torch_grad(x, lo, hi):
+    """Clip with torch.clamp's gradient semantics: grad 1 on [lo, hi]
+    INCLUSIVE of the boundaries, 0 outside. jnp.clip (min∘max) splits the
+    gradient 0.5/0.5 at exact boundary hits — and after round_ste many
+    values land EXACTLY on qmin/qmax, so the difference is systematic and
+    breaks LWC-gradient parity with the reference (verified by
+    tests/test_reference_parity.py::test_lwc_gradients_match_reference)."""
+    inside = (x >= lo) & (x <= hi)
+    return jnp.where(inside, x, jax.lax.stop_gradient(jnp.clip(x, lo, hi)))
+
+
 def _fake_quant_core(x, scale, round_zero_point, cfg: QuantConfig):
     """STE fake-quantization given precomputed scale/zp (reference :84-105 core)."""
     x_int = round_ste(x / scale)
     if round_zero_point is not None:
         x_int = x_int + round_zero_point
-    x_int = jnp.clip(x_int, cfg.qmin, cfg.qmax)
+    x_int = _clip_torch_grad(x_int, cfg.qmin, cfg.qmax)
     x_deq = x_int
     if round_zero_point is not None:
         x_deq = x_deq - round_zero_point
