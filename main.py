@@ -152,6 +152,9 @@ def main(argv=None):
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+        if args.platform == "cpu" and args.tp > 1:
+            # virtual CPU devices so --tp can be exercised off-TPU
+            jax.config.update("jax_num_cpu_devices", max(args.tp, 1))
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
     import jax.numpy as jnp

@@ -62,10 +62,16 @@ def _linear_spec(row_parallel: bool, sub):
 ROW_PARALLEL = {
     "llama": ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj"),
     "opt": ("q_proj", "k_proj", "v_proj", "fc1"),
+    # fused qkv row-shards are legal for ANY falcon head layout on the dense
+    # path: NamedShardings are hints, GSPMD re-gathers where the head split
+    # needs it (the packed shard_map path instead restructures the fused
+    # layout at placement time — parallel/tp_forward.py).
+    "falcon": ("query_key_value", "dense_h_to_4h"),
 }
 COL_PARALLEL = {
     "llama": ("o_proj", "down_proj"),
     "opt": ("out_proj", "fc2"),
+    "falcon": ("dense", "dense_4h_to_h"),
 }
 
 

@@ -67,3 +67,133 @@ def test_tp_dense_forward_matches(packed_llama):
     got = fwd(layers, x)
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# padded intermediates + OPT / falcon families (round-2: VERDICT item 2)
+# ---------------------------------------------------------------------------
+
+def test_tp_packed_padded_intermediate():
+    """LLaMA-7B-geometry analog: intermediate NOT a multiple of tp*tile
+    (288 with tile 256, tp 2 -> padded to 512) must run and match."""
+    from omniquant_tpu.parallel.tp_forward import make_tp_forward
+
+    cfg = jllama.LlamaConfig(
+        vocab_size=64, hidden_size=256, intermediate_size=288,
+        num_hidden_layers=1, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=64,
+    )
+    params = jllama.init_params(jax.random.PRNGKey(2), cfg)
+    wcfg = QuantConfig(n_bits=4, group_size=32)
+    fq = dict(params)
+    fq["layers"] = [
+        LLAMA.effective_block_weights(b, wcfg, None, None, cfg)
+        for b in params["layers"]
+    ]
+    packed = pack_model(LLAMA, fq, wcfg)
+    gate = packed["layers"][0]["gate_proj"]
+    assert gate.out_features % (2 * packed["layers"][0]["down_proj"].tile_k) \
+        != 0  # the case that used to raise NotImplementedError
+
+    mesh = make_mesh(dp=1, tp=2)
+    make_forward, shard_block = make_tp_forward("llama", mesh, cfg)
+    layers = [shard_block(b) for b in packed["layers"]]
+    # padded shapes: out lanes / packed rows round to tp*tile units
+    assert layers[0]["gate_proj"].out_features % (2 * 256) == 0
+    assert layers[0]["down_proj"].in_features == \
+        layers[0]["gate_proj"].out_features
+    fwd = make_forward(layers)
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((1, 8, cfg.hidden_size)), jnp.float32)
+    ref = x
+    for b in fq["layers"]:
+        ref, _ = LLAMA.block_forward(b, ref, cfg)
+    got = fwd(layers, x)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("tp", [2, 4])
+def test_tp_packed_opt(tp):
+    """OPT packed TP (biases everywhere; col-parallel bias added once)."""
+    from omniquant_tpu.models import OPT
+    from omniquant_tpu.models import opt as jopt
+    from omniquant_tpu.parallel.tp_forward import make_tp_forward
+
+    cfg = jopt.OPTConfig(
+        vocab_size=64, hidden_size=256, ffn_dim=320,  # 320 needs padding
+        num_hidden_layers=2, num_attention_heads=4,
+        max_position_embeddings=64,
+    )
+    params = jopt.init_params(jax.random.PRNGKey(3), cfg)
+    rng = np.random.default_rng(3)
+    for b in params["layers"]:
+        for n in jopt.LINEAR_NAMES:
+            b[n]["bias"] = jnp.asarray(
+                rng.standard_normal(b[n]["bias"].shape) * 0.1, jnp.float32)
+    wcfg = QuantConfig(n_bits=4, group_size=32)
+    fq = dict(params)
+    fq["layers"] = [
+        OPT.effective_block_weights(b, wcfg, None, None, cfg)
+        for b in params["layers"]
+    ]
+    packed = pack_model(OPT, fq, wcfg, tile_k=64)
+
+    mesh = make_mesh(dp=1, tp=tp)
+    make_forward, shard_block = make_tp_forward("opt", mesh, cfg)
+    layers = [shard_block(b) for b in packed["layers"]]
+    fwd = make_forward(layers)
+
+    x = jnp.asarray(rng.standard_normal((2, 8, cfg.hidden_size)), jnp.float32)
+    ref = x
+    for b in fq["layers"]:
+        ref, _ = OPT.block_forward(b, ref, cfg)
+    got = fwd(layers, x)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("variant", ["new_decoder", "mqa", "classic"])
+def test_tp_packed_falcon(variant):
+    """Falcon packed TP across its three head-layout variants."""
+    from omniquant_tpu.models import FALCON
+    from omniquant_tpu.models import falcon as jfalcon
+    from omniquant_tpu.parallel.tp_forward import make_tp_forward
+
+    kw = dict(vocab_size=64, hidden_size=256, num_hidden_layers=1,
+              num_attention_heads=4)
+    if variant == "new_decoder":
+        cfg = jfalcon.FalconConfig(
+            **kw, num_kv_heads=2, multi_query=False,
+            new_decoder_architecture=True, parallel_attn=True)
+    elif variant == "mqa":
+        cfg = jfalcon.FalconConfig(
+            **kw, multi_query=True, new_decoder_architecture=False,
+            parallel_attn=True)
+    else:
+        cfg = jfalcon.FalconConfig(
+            **kw, multi_query=False, new_decoder_architecture=False,
+            parallel_attn=False, alibi=True)
+    params = jfalcon.init_params(jax.random.PRNGKey(4), cfg)
+    wcfg = QuantConfig(n_bits=4, group_size=32)
+    fq = dict(params)
+    fq["layers"] = [
+        FALCON.effective_block_weights(b, wcfg, None, None, cfg)
+        for b in params["layers"]
+    ]
+    packed = pack_model(FALCON, fq, wcfg, tile_k=64)
+
+    mesh = make_mesh(dp=1, tp=2)
+    make_forward, shard_block = make_tp_forward("falcon", mesh, cfg)
+    layers = [shard_block(b) for b in packed["layers"]]
+    fwd = make_forward(layers)
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((1, 8, cfg.hidden_size)), jnp.float32)
+    ref = x
+    for b in fq["layers"]:
+        ref, _ = FALCON.block_forward(b, ref, cfg)
+    got = fwd(layers, x)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
