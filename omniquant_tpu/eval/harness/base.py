@@ -209,7 +209,92 @@ class JaxLM(LM):
             out.append(sum(s for s, _ in scores))
         return out
 
+    def _get_engine(self):
+        """Lazily build a serving engine over the same params for KV-cached
+        generation (greedy_until used to re-run the full forward per token —
+        O(n²); the engine's slot cache makes it O(n), VERDICT round-1 #5)."""
+        if getattr(self, "_engine", None) is None:
+            import jax
+
+            from ...serving.engine import FalconEngine, LlamaEngine, OPTEngine
+
+            eng_cls = {"llama": LlamaEngine, "opt": OPTEngine,
+                       "falcon": FalconEngine}[self.family.name]
+            dtype = jax.tree.leaves(self.params)[0].dtype
+            self._engine = eng_cls(
+                self.params, self.cfg, max_batch=self.batch_size,
+                max_len=self.seqlen, dtype=dtype, spec=self.spec)
+        return self._engine
+
     def greedy_until(self, requests):
+        eng = self._get_engine()
+        out = [None] * len(requests)
+        keep = max(1, self.seqlen - self.max_gen_toks)
+
+        def finalize(idx, generated, until):
+            text = self.tok_decode(generated)
+            for u in until:
+                cut = text.find(u)
+                if cut != -1:
+                    text = text[:cut]
+            out[idx] = text
+
+        for start in range(0, len(requests), eng.max_batch):
+            wave = list(range(start, min(start + eng.max_batch,
+                                         len(requests))))
+            prompts, untils = [], []
+            for i in wave:
+                context, until = requests[i]
+                untils.append([until] if isinstance(until, str) else until)
+                prompts.append(
+                    self.tok_encode(context)[-keep:] or [self.eot_token_id])
+            slots = eng.add_requests(prompts)
+            slot_req = dict(zip(slots, wave))
+            # cache capacity caps generation: prompt + gen <= engine max_len
+            gen_cap = {
+                s: min(self.max_gen_toks,
+                       eng.max_len - len(prompts[slot_req[s] - start]))
+                for s in slots
+            }
+            generated = {s: [eng._pending_next[s]] for s in slots}
+            live = {}
+            for s in slots:
+                i = slot_req[s]
+                gen = generated[s]
+                text = self.tok_decode(gen)
+                u = untils[i - start]
+                if (any(x in text for x in u)
+                        or gen[-1] == self.eot_token_id
+                        or len(gen) >= gen_cap[s]):
+                    finalize(i, gen, u)
+                else:
+                    live[s] = gen[-1]
+            for _ in range(self.max_gen_toks - 1):
+                if not live:
+                    break
+                nxt = eng.step(live)
+                live = {}
+                for s, tok in nxt.items():
+                    i = slot_req[s]
+                    gen = generated[s]
+                    gen.append(tok)
+                    text = self.tok_decode(gen)
+                    u = untils[i - start]
+                    if (any(x in text for x in u)
+                            or tok == self.eot_token_id
+                            or len(gen) >= gen_cap[s]):
+                        finalize(i, gen, u)
+                    else:
+                        live[s] = tok
+            for s in list(live):  # hit max_gen_toks mid-flight
+                finalize(slot_req[s], generated[s], untils[slot_req[s] - start])
+            for s in slots:
+                eng.release(s)
+        return out
+
+    def _greedy_until_uncached(self, requests):
+        """The pre-engine O(n²) path (full forward per generated token);
+        kept as the oracle for test_harness's generation-equality test."""
         jnp = self._jnp
         out = []
         for context, until in requests:

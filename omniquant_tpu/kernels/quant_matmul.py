@@ -45,12 +45,17 @@ def _unpack_planar_tile(u, bits: int):
 
 def _unpack_tile(qw, bits: int, bk: int):
     """Packed tile words -> (bk, bn) int32 codes. 3-bit recombines its
-    2-bit and 1-bit planes (code = low | hi << 2)."""
+    2-bit and 1-bit planes (code = low | hi << 2); 6-bit its 4-bit and
+    2-bit planes (code = low | hi << 4)."""
     u = pltpu.bitcast(qw, jnp.uint32)
     if bits == 3:
         low = _unpack_planar_tile(u[: bk // 16], 2)
         hi = _unpack_planar_tile(u[bk // 16 :], 1)
         return low | (hi << 2)
+    if bits == 6:
+        low = _unpack_planar_tile(u[: bk // 8], 4)
+        hi = _unpack_planar_tile(u[bk // 8 :], 2)
+        return low | (hi << 4)
     return _unpack_planar_tile(u, bits)
 
 

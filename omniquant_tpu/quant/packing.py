@@ -67,6 +67,8 @@ def pack_tile(bits: int, group_size: Optional[int],
 
     if bits == 3:
         base = 256  # 1-bit plane chunk tile/32 must fill 8 sublanes
+    elif bits == 6:
+        base = 128  # lcm of the 4-bit (64) and 2-bit (128) plane units
     else:
         base = vals_per_word(bits) * 8
     if group_size:
@@ -180,6 +182,19 @@ def pack_codes(codes: jax.Array, bits: int,
         ).reshape(n_tiles, tile // 32, out_f)
         packed = jnp.concatenate([low, hi], axis=1)  # (n_tiles, 3T/32, out)
         return packed.reshape(k_pad * 3 // 32, out_f).astype(jnp.int32)
+    if bits == 6:
+        # 4-bit plane + 2-bit plane per tile: exactly 6.0 bits per value
+        # (code = low4 | hi2 << 4) — the W6A6 real-quant layout
+        n_tiles = k_pad // tile
+        tiles = codes_t.reshape(n_tiles, tile, out_f)
+        low = _pack_planar(
+            (tiles & 15).reshape(k_pad, out_f), 4, tile
+        ).reshape(n_tiles, tile // 8, out_f)
+        hi = _pack_planar(
+            (tiles >> 4).reshape(k_pad, out_f), 2, tile
+        ).reshape(n_tiles, tile // 16, out_f)
+        packed = jnp.concatenate([low, hi], axis=1)  # (n_tiles, 6T/32, out)
+        return packed.reshape(k_pad * 6 // 32, out_f).astype(jnp.int32)
     return _pack_planar(codes_t, bits, tile).astype(jnp.int32)
 
 
@@ -201,6 +216,15 @@ def unpack_codes(packed: jax.Array, bits: int, in_features: int,
         hi = _unpack_planar(
             tiles[:, tile // 16 :].reshape(-1, out_f), 1, tile)
         vals = low | (hi << 2)
+        return vals[:in_features].astype(jnp.int32)
+    if bits == 6:
+        wpt = tile * 6 // 32
+        tiles = packed.astype(jnp.uint32).reshape(-1, wpt, out_f)
+        low = _unpack_planar(
+            tiles[:, : tile // 8].reshape(-1, out_f), 4, tile)
+        hi = _unpack_planar(
+            tiles[:, tile // 8 :].reshape(-1, out_f), 2, tile)
+        vals = low | (hi << 4)
         return vals[:in_features].astype(jnp.int32)
     vals = _unpack_planar(packed.astype(jnp.uint32), bits, tile)
     return vals[:in_features].astype(jnp.int32)

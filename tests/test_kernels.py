@@ -25,7 +25,8 @@ def make_packed(bits, group_size, out_f, in_f, seed=0, bias=False):
 
 
 @pytest.mark.parametrize("bits,group_size", [
-    (4, 128), (4, None), (2, 128), (3, 128), (8, 128), (3, None),
+    (4, 128), (4, None), (2, 128), (3, 128), (6, 128), (6, None),
+    (8, 128), (3, None),
 ])
 def test_kernel_matches_reference(bits, group_size):
     pw = make_packed(bits, group_size, out_f=256, in_f=512, seed=bits)

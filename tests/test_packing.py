@@ -13,7 +13,7 @@ from omniquant_tpu.quant import (
 )
 
 
-@pytest.mark.parametrize("bits", [2, 3, 4, 8])
+@pytest.mark.parametrize("bits", [2, 3, 4, 6, 8])
 def test_pack_unpack_roundtrip(bits):
     rng = np.random.default_rng(bits)
     out_f, in_f = 24, 130  # non-multiple of vals_per_word on purpose
@@ -26,7 +26,7 @@ def test_pack_unpack_roundtrip(bits):
     np.testing.assert_array_equal(np.asarray(unpacked), np.asarray(codes).T)
 
 
-@pytest.mark.parametrize("bits,group_size", [(2, 32), (3, 32), (4, 32), (4, None)])
+@pytest.mark.parametrize("bits,group_size", [(2, 32), (3, 32), (4, 32), (6, 32), (6, None), (4, None)])
 def test_packed_dequant_matches_fake_quant(bits, group_size):
     """pack_weight -> dequantize_packed == fake_quant_weight (transposed)."""
     rng = np.random.default_rng(10 + bits)
