@@ -20,8 +20,10 @@ Design:
   * f32 score/softmax accumulation regardless of input dtype (matches the
     eval path's fp32 softmax, reference int_llama_layer.py:160).
 
-ALiBi biases are not supported here — the falcon ALiBi path keeps the dense
-einsum attention (serving/engine.py FalconEngine._block).
+ALiBi is supported via per-head slopes (falcon): the bias
+slope[h] * key_pos * sm_scale is added to the scores inside the kernel —
+the absolute-key-position formulation the serving engine uses (softmax
+shift invariance makes it equivalent to the relative q-k distance form).
 """
 from __future__ import annotations
 
@@ -37,9 +39,9 @@ _NEG_INF = -1e30
 _LANES = 128
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, out_ref, m_ref, l_ref, acc_ref,
-                  *, sm_scale: float, block_q: int, block_k: int,
-                  kv_len: int, causal: bool, out_dtype):
+def _flash_kernel(q_ref, k_ref, v_ref, slopes_ref, out_ref, m_ref, l_ref,
+                  acc_ref, *, sm_scale: float, block_q: int, block_k: int,
+                  kv_len: int, causal: bool, has_alibi: bool, out_dtype):
     iq = pl.program_id(2)
     jk = pl.program_id(3)
     nk = pl.num_programs(3)
@@ -66,6 +68,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, out_ref, m_ref, l_ref, acc_ref,
 
         k_idx = jk * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 1)
+        if has_alibi:
+            s = s + (slopes_ref[0] * sm_scale) * k_idx.astype(jnp.float32)
         valid = k_idx < kv_len
         if causal:
             q_idx = iq * block_q + jax.lax.broadcasted_iota(
@@ -96,10 +100,10 @@ def _flash_kernel(q_ref, k_ref, v_ref, out_ref, m_ref, l_ref, acc_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("sm_scale", "causal", "kv_len", "block_q", "block_k",
-                     "n_rep", "interpret"),
+                     "n_rep", "has_alibi", "interpret"),
 )
-def _flash_call(q, k, v, sm_scale, causal, kv_len, block_q, block_k, n_rep,
-                interpret):
+def _flash_call(q, k, v, slopes, sm_scale, causal, kv_len, block_q, block_k,
+                n_rep, has_alibi, interpret):
     B, H, Sq, D = q.shape
     Skv = k.shape[2]
     grid = (B, H, Sq // block_q, Skv // block_k)
@@ -110,13 +114,15 @@ def _flash_call(q, k, v, sm_scale, causal, kv_len, block_q, block_k, n_rep,
     kv_spec = pl.BlockSpec((1, 1, block_k, D),
                            lambda b, h, i, j: (b, h // n_rep, j, 0),
                            memory_space=pltpu.VMEM)
+    slopes_spec = pl.BlockSpec((1,), lambda b, h, i, j: (h,),
+                               memory_space=pltpu.SMEM)
     kernel = functools.partial(
         _flash_kernel, sm_scale=sm_scale, block_q=block_q, block_k=block_k,
-        kv_len=kv_len, causal=causal, out_dtype=q.dtype)
+        kv_len=kv_len, causal=causal, has_alibi=has_alibi, out_dtype=q.dtype)
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[q_spec, kv_spec, kv_spec],
+        in_specs=[q_spec, kv_spec, kv_spec, slopes_spec],
         out_specs=q_spec,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         scratch_shapes=[
@@ -135,15 +141,19 @@ def _flash_call(q, k, v, sm_scale, causal, kv_len, block_q, block_k, n_rep,
             transcendentals=B * H * Sq * Skv,
         ),
         interpret=interpret,
-    )(q, k, v)
+    )(q, k, v, slopes)
 
 
 def flash_attention(q, k, v, sm_scale: Optional[float] = None,
                     causal: bool = True, block_q: int = 256,
                     block_k: int = 256,
+                    alibi_slopes: Optional[jax.Array] = None,
                     interpret: Optional[bool] = None) -> jax.Array:
     """Blockwise attention. q: (B, H, Sq, D); k, v: (B, Hkv, Skv, D) with
     H % Hkv == 0 (GQA/MQA). Returns (B, H, Sq, D) in q.dtype.
+
+    `alibi_slopes` (H,) adds slope[h] * key_position * sm_scale to the
+    scores (falcon's ALiBi, absolute-position form).
 
     Sequences are zero-padded to block multiples and head_dim to the
     128-lane width internally; padded key positions are masked, padded
@@ -167,13 +177,18 @@ def flash_attention(q, k, v, sm_scale: Optional[float] = None,
     kp = jnp.pad(k, ((0, 0), (0, 0), (0, sk_pad), (0, d_pad)))
     vp = jnp.pad(v, ((0, 0), (0, 0), (0, sk_pad), (0, d_pad)))
 
-    out = _flash_call(qp, kp, vp, sm_scale=float(sm_scale), causal=causal,
-                      kv_len=Skv, block_q=block_q, block_k=block_k,
-                      n_rep=H // Hkv, interpret=interpret)
+    has_alibi = alibi_slopes is not None
+    slopes = (jnp.asarray(alibi_slopes, jnp.float32) if has_alibi
+              else jnp.zeros((H,), jnp.float32))
+    out = _flash_call(qp, kp, vp, slopes, sm_scale=float(sm_scale),
+                      causal=causal, kv_len=Skv, block_q=block_q,
+                      block_k=block_k, n_rep=H // Hkv, has_alibi=has_alibi,
+                      interpret=interpret)
     return out[:, :, :Sq, :D]
 
 
-def flash_attention_reference(q, k, v, sm_scale=None, causal=True):
+def flash_attention_reference(q, k, v, sm_scale=None, causal=True,
+                              alibi_slopes=None):
     """Dense jnp oracle for validation."""
     B, H, Sq, D = q.shape
     Hkv, Skv = k.shape[1], k.shape[2]
@@ -184,6 +199,10 @@ def flash_attention_reference(q, k, v, sm_scale=None, causal=True):
     v = jnp.repeat(v, rep, axis=1)
     s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
                    k.astype(jnp.float32)) * sm_scale
+    if alibi_slopes is not None:
+        ki_b = jnp.arange(Skv, dtype=jnp.float32)
+        s = s + (jnp.asarray(alibi_slopes, jnp.float32)[None, :, None, None]
+                 * sm_scale * ki_b[None, None, None, :])
     if causal:
         qi = jnp.arange(Sq)[:, None] + (Skv - Sq)
         ki = jnp.arange(Skv)[None, :]

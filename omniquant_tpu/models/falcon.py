@@ -106,6 +106,26 @@ def split_heads(fused_qkv: jax.Array, cfg: FalconConfig):
     return q, k, v
 
 
+def split_heads_kv(fused_qkv: jax.Array, cfg: FalconConfig):
+    """Like split_heads, but k/v keep their TRUE head count (no broadcast):
+    q (b, s, n_heads, hd); k, v (b, s, n_kv, hd). The serving engine caches
+    these directly — falcon-7b MQA stores ONE kv head instead of 71 copies
+    (71x less cache memory) and repeats on read."""
+    b, s, _ = fused_qkv.shape
+    nh, hd = cfg.num_attention_heads, cfg.head_dim
+    if cfg.new_decoder_architecture:
+        n_kv = cfg.effective_kv_heads
+        rep = nh // n_kv
+        qkv = fused_qkv.reshape(b, s, n_kv, rep + 2, hd)
+        q = qkv[:, :, :, :-2].reshape(b, s, nh, hd)
+        return q, qkv[:, :, :, -2], qkv[:, :, :, -1]
+    if not cfg.multi_query:
+        qkv = fused_qkv.reshape(b, s, nh, 3, hd)
+        return qkv[..., 0, :], qkv[..., 1, :], qkv[..., 2, :]
+    qkv = fused_qkv.reshape(b, s, nh + 2, hd)
+    return qkv[..., :-2, :], qkv[..., -2:-1, :], qkv[..., -1:, :]
+
+
 def alibi_slopes(n_heads: int) -> jax.Array:
     """Standard ALiBi head slopes."""
     import math

@@ -182,9 +182,13 @@ class LlamaEngine:
         return key
 
     def _flash_ok(self) -> bool:
-        """Whether the plain-causal flash prefill path is valid for this
-        engine (falcon ALiBi folds bias into the mask, so it is not)."""
+        """Whether the flash prefill path is valid for this engine."""
         return True
+
+    def _alibi_slopes(self):
+        """Per-head ALiBi slopes for the flash kernel (None = plain causal).
+        Overridden by FalconEngine when cfg.alibi."""
+        return None
 
     def _do_sample(self) -> bool:
         """Static sampling toggle: greedy-only batches keep the pure-argmax
@@ -301,7 +305,7 @@ class LlamaEngine:
 
             attn = flash_attention(
                 q, k_all, v_all, sm_scale=float(cfg.head_dim) ** -0.5,
-                causal=True)
+                causal=True, alibi_slopes=self._alibi_slopes())
             attn = attn.transpose(0, 2, 1, 3).reshape(b, s, -1)
             return self._attn_out(p, attn)
         k_r = repeat_kv(k_all, cfg.n_rep)
@@ -708,19 +712,23 @@ class FalconEngine(LlamaEngine):
         a.__dict__.update(cfg.__dict__)
         a.num_hidden_layers = cfg.num_hidden_layers
         a.num_attention_heads = cfg.num_attention_heads
-        # kv stored per query head after broadcast (multi-query caches the
-        # single kv head replicated — memory-suboptimal but simple; a later
-        # optimization stores n_kv=1 and repeats on read)
-        a.num_key_value_heads = cfg.num_attention_heads
+        # cache the TRUE kv head count: falcon-7b MQA stores ONE kv head
+        # (71x less cache memory than replicating per query head) and the
+        # attention paths repeat on read (repeat_kv / flash's n_rep maps)
+        a.num_key_value_heads = cfg.effective_kv_heads
         a.head_dim = cfg.head_dim
-        a.n_rep = 1
+        a.n_rep = cfg.num_attention_heads // cfg.effective_kv_heads
         a.rms_norm_eps = cfg.layer_norm_eps
         a.rope_theta = cfg.rope_theta
         a.hidden_size = cfg.hidden_size
         super().__init__(params, a, **kw)
 
-    def _flash_ok(self) -> bool:
-        return not self._fcfg.alibi
+    def _alibi_slopes(self):
+        if not self._fcfg.alibi:
+            return None
+        from ..models.falcon import alibi_slopes
+
+        return alibi_slopes(self._fcfg.num_attention_heads)
 
     def _embed(self, params, tokens, positions):
         from ..models import falcon as jfalcon
@@ -737,7 +745,7 @@ class FalconEngine(LlamaEngine):
 
         cfg = self._fcfg
         fused = linear(hidden, p["query_key_value"], self.spec.act)
-        q, k, v = jfalcon.split_heads(fused, cfg)
+        q, k, v = jfalcon.split_heads_kv(fused, cfg)  # k/v at true n_kv
         q = q.transpose(0, 2, 1, 3)
         k = k.transpose(0, 2, 1, 3)
         v = v.transpose(0, 2, 1, 3)

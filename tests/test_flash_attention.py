@@ -77,3 +77,22 @@ def test_engine_prefill_uses_flash_and_matches_dense():
     d = dense.step_n({sd: dense._pending_next[sd]}, 4)[sd]
     f = flash.step_n({sf: flash._pending_next[sf]}, 4)[sf]
     assert d == f
+
+
+def test_alibi_matches_oracle():
+    """ALiBi slopes inside the kernel == dense oracle with the bias."""
+    from omniquant_tpu.kernels.flash_attention import (
+        flash_attention, flash_attention_reference)
+    from omniquant_tpu.models.falcon import alibi_slopes
+
+    rng = np.random.default_rng(9)
+    B, H, S, D = 1, 4, 96, 32
+    q = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, 1, S, D)), jnp.float32)  # MQA
+    v = jnp.asarray(rng.standard_normal((B, 1, S, D)), jnp.float32)
+    slopes = alibi_slopes(H)
+    ref = flash_attention_reference(q, k, v, alibi_slopes=slopes)
+    got = flash_attention(q, k, v, alibi_slopes=slopes, block_q=32,
+                          block_k=32, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
