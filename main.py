@@ -52,7 +52,8 @@ def build_parser():
     p.add_argument("--let_lr", type=float, default=5e-3)
     p.add_argument("--lwc_lr", type=float, default=1e-2)
     p.add_argument("--wd", type=float, default=0)
-    p.add_argument("--epochs", type=int, default=10)
+    # reference default: 20 (reference main.py:204); recipes set it explicitly
+    p.add_argument("--epochs", type=int, default=20)
     p.add_argument("--let", default=False, action="store_true")
     p.add_argument("--lwc", default=False, action="store_true")
     p.add_argument("--aug_loss", default=False, action="store_true")
@@ -68,6 +69,14 @@ def build_parser():
                    help="store calibration activations in bfloat16")
     p.add_argument("--act-scales", dest="act_scales", type=str, default=None)
     p.add_argument("--act-shifts", dest="act_shifts", type=str, default=None)
+    p.add_argument("--coordinator", type=str, default=None,
+                   help="multi-host: coordinator address host:port "
+                        "(jax.distributed); omit on TPU pods for "
+                        "auto-detection with --num_processes set")
+    p.add_argument("--num_processes", type=int, default=1,
+                   help="multi-host: total process count (1 = single host)")
+    p.add_argument("--process_id", type=int, default=None,
+                   help="multi-host: this process's rank")
     p.add_argument("--platform", type=str, default=None,
                    help="force jax platform (cpu for testing)")
     p.add_argument("--debug_nans", action="store_true",
@@ -157,6 +166,14 @@ def main(argv=None):
             jax.config.update("jax_num_cpu_devices", max(args.tp, 1))
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
+    if args.num_processes > 1:
+        from omniquant_tpu.parallel.multihost import (
+            MultihostConfig, init_multihost)
+
+        init_multihost(MultihostConfig(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id))
     import jax.numpy as jnp
 
     from omniquant_tpu.calib import (

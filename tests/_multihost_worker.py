@@ -1,0 +1,102 @@
+"""Worker process for tests/test_multihost.py — one rank of a 2-process
+gloo-CPU cluster running a dp-across-hosts x tp-within-host calibration
+step. Prints `LOSS <value>` so the test can compare ranks against the
+single-process oracle.
+
+Must run under plain `python` (not pytest): it configures its own backend
+before any jax usage.
+"""
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    pid = int(sys.argv[1])
+    nproc = int(sys.argv[2])
+    port = int(sys.argv[3])
+    local_devices = int(sys.argv[4])
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    jax.config.update("jax_num_cpu_devices", local_devices)
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+    from omniquant_tpu.parallel.multihost import (
+        MultihostConfig, init_multihost, global_mesh,
+        shard_calibration_batch, process_slice, all_processes_agree)
+
+    init_multihost(MultihostConfig(
+        coordinator_address=f"localhost:{port}",
+        num_processes=nproc, process_id=pid))
+    assert jax.process_count() == nproc
+    assert jax.device_count() == nproc * local_devices
+
+    loss = calibration_step_global(
+        global_mesh(tp=local_devices),
+        shard_calibration_batch, process_slice)
+    assert all_processes_agree(loss)
+    print(f"LOSS {float(loss):.10f}", flush=True)
+
+
+def calibration_step_global(mesh, shard_fn, slice_fn, global_batch=4):
+    """One dp x tp LWC/LET calibration step on a tiny llama block. Also used
+    (with trivial shard/slice fns) by the single-process oracle."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from omniquant_tpu.models import LLAMA
+    from omniquant_tpu.models import llama as jllama
+    from omniquant_tpu.parallel import block_specs, shard_params
+    from omniquant_tpu.quant import QuantConfig
+
+    cfg = jllama.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=1, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64,
+    )
+    params = jllama.init_params(jax.random.PRNGKey(0), cfg)
+    block = params["layers"][0]
+    block_sh = shard_params(block, mesh, block_specs("llama", block))
+
+    wcfg = QuantConfig(n_bits=4, group_size=16, lwc=True)
+    trainable = {
+        "lwc": jllama.init_lwc_params_block(block, wcfg),
+        "let": jllama.init_let_params(block, cfg, None),
+    }
+    opt = optax.adamw(1e-2)
+    opt_state = opt.init(trainable)
+
+    rng = np.random.default_rng(0)
+    x_full = rng.standard_normal((global_batch, 16, cfg.hidden_size)).astype(
+        np.float32)
+    fp_full = rng.standard_normal((global_batch, 16, cfg.hidden_size)).astype(
+        np.float32)
+    sl = slice_fn(global_batch)
+    x = shard_fn(mesh, x_full[sl])
+    fp_out = shard_fn(mesh, fp_full[sl])
+
+    def loss_fn(tr, block, x, fp_out):
+        eff = LLAMA.effective_block_weights(
+            block, wcfg, tr["lwc"], tr["let"], cfg)
+        out, _ = LLAMA.block_forward(eff, x, cfg)
+        return jnp.mean((out - fp_out) ** 2)
+
+    @jax.jit
+    def step(tr, opt_state, block, x, fp_out):
+        loss, grads = jax.value_and_grad(loss_fn)(tr, block, x, fp_out)
+        updates, opt_state = opt.update(grads, opt_state, tr)
+        return optax.apply_updates(tr, updates), opt_state, loss
+
+    with jax.sharding.set_mesh(mesh):
+        _, _, loss = step(trainable, opt_state, block_sh, x, fp_out)
+    return loss
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,69 @@
+"""Multi-host (2-process) validation on CPU: the dp-across-hosts x
+tp-within-host calibration step agrees with the single-process result.
+
+The TPU-pod analog runs the same code with real ICI/DCN; here each process
+gets 2 virtual CPU devices and collectives ride gloo over localhost
+(SURVEY.md §4's fake-device strategy extended across process boundaries).
+"""
+import re
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _run_workers(nproc=2, local_devices=2, timeout=240):
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(REPO / "tests" / "_multihost_worker.py"),
+             str(pid), str(nproc), str(port), str(local_devices)],
+            cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True)
+        for pid in range(nproc)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=timeout)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+        outs.append(out)
+    return outs
+
+
+def test_two_process_calibration_step_matches_single_process():
+    outs = _run_workers()
+    losses = []
+    for out in outs:
+        m = re.search(r"LOSS ([0-9.eE+-]+)", out)
+        assert m, out
+        losses.append(float(m.group(1)))
+    # both ranks observe the same global loss
+    assert np.isclose(losses[0], losses[1], rtol=1e-6)
+
+    # single-process oracle on the in-process 8-device CPU mesh
+    from omniquant_tpu.parallel.multihost import global_mesh
+    from tests._multihost_worker import calibration_step_global
+
+    def shard_fn(mesh, arr):
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(
+            arr, NamedSharding(mesh, P("dp", *([None] * (arr.ndim - 1)))))
+
+    oracle = float(calibration_step_global(
+        global_mesh(tp=2, dp=2), shard_fn, lambda n: slice(0, n)))
+    assert np.isclose(losses[0], oracle, rtol=1e-5), (losses[0], oracle)
