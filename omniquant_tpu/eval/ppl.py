@@ -46,5 +46,9 @@ def evaluate_ppl(
         nlls.append(window_nll(params, window))
         if limit is not None and i == limit:
             break
+    # NOTE: with limit set, the divisor stays the FULL nsamples — faithful to
+    # the reference quirk (main.py:142-145 divides by `nsamples` even when
+    # early-stopped at args.limit). Do not "fix" this side alone: limited-run
+    # ppl values are only comparable against the reference's limited runs.
     ppl = float(jnp.exp(jnp.sum(jnp.stack(nlls)) / (nsamples * seqlen)))
     return ppl

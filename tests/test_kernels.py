@@ -63,27 +63,33 @@ def test_kernel_bias_and_3d_input():
 
 
 def test_kernel_bf16_input():
-    """bf16 inputs dequantize in bf16 (serving fast path): compare against
-    a bf16-dequant reference, not the f32 one."""
-    from omniquant_tpu.quant.packing import dequantize_packed
+    """bf16 inputs contract in bf16 with f32 accumulation (serving fast
+    path): compare against a reference mirroring the kernel's post-matmul
+    group-scaling factorization (x_g @ codes_g) * sc_g + xsum_g @ off_g."""
+    from omniquant_tpu.quant.packing import unpack_codes
 
     pw = make_packed(4, 128, out_f=256, in_f=512)
     rng = np.random.default_rng(4)
     x = jnp.asarray(rng.standard_normal((4, 512)), jnp.bfloat16)
     got = quant_matmul(x, pw, interpret=True)
     assert got.dtype == jnp.bfloat16
-    # replicate the kernel's bf16 dequant factorization: codes*sc + (-zp*sc)
-    from omniquant_tpu.quant.packing import unpack_codes
 
-    codes = unpack_codes(pw.qweight, pw.bits, pw.in_features, pw.group_size)
-    gid = np.arange(pw.in_features) // pw.group_size
-    sc = pw.scales.T[gid].astype(jnp.bfloat16)  # (in, out)
-    off = (-pw.zeros * pw.scales).T[gid].astype(jnp.bfloat16)
-    w = (codes.astype(jnp.bfloat16) * sc + off).astype(jnp.float32)
-    ref = x.astype(jnp.float32) @ w
+    codes = np.asarray(unpack_codes(
+        pw.qweight, pw.bits, pw.in_features, pw.group_size),
+        dtype=np.float32)  # (in, out); codes <= 15 are exact in bf16
+    gs = pw.group_size
+    n_g = pw.in_features // gs
+    sc = np.asarray(pw.scales.T.astype(jnp.bfloat16), np.float32)  # (G, out)
+    off = np.asarray(
+        (-pw.zeros * pw.scales).T.astype(jnp.bfloat16), np.float32)
+    xf = np.asarray(x, np.float32)
+    acc = np.zeros((x.shape[0], pw.out_features), np.float32)
+    for g in range(n_g):
+        xg = xf[:, g * gs : (g + 1) * gs]
+        acc += (xg @ codes[g * gs : (g + 1) * gs]) * sc[g][None, :]
+        acc += xg.sum(-1, keepdims=True) * off[g][None, :]
     np.testing.assert_allclose(
-        np.asarray(got, dtype=np.float32), np.asarray(ref),
-        rtol=2e-2, atol=2e-1)
+        np.asarray(got, dtype=np.float32), acc, rtol=2e-2, atol=2e-1)
 
 
 def test_kernel_fallback_odd_n():
