@@ -22,6 +22,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..kernels.kv_update import (
+    kv_cache_prefill_write, kv_cache_write, scale_plane_init,
+    scale_plane_view)
 from ..models.common import ActQuantSpec, NO_ACT_QUANT, linear, repeat_kv, rms_norm
 from ..models import llama as jllama
 from ..quant.packing import PackedWeight
@@ -68,14 +71,20 @@ class KVCache:
     """Per-layer lists of (B, n_kv, max_len, hd) arrays.
 
     Per-layer arrays (rather than one stacked (L, ...) tensor) let XLA alias
-    each layer's donated buffer through its scatter update — with a stacked
-    cache the 32 chained scatters defeated aliasing and the decode program
-    tried to materialize multiple multi-GB copies (OOM at compile)."""
+    each layer's donated buffer through its update — with a stacked cache
+    the 32 chained updates defeated aliasing and the decode program tried to
+    materialize multiple multi-GB copies (OOM at compile).
+
+    All cache WRITES go through the Pallas kernels in kernels/kv_update
+    (kv_cache_write / kv_cache_prefill_write): XLA lowers the per-slot
+    scatter to a full-buffer copy (~0.4 ms per 67 MB buffer — 52 of the
+    round-1 decode step's 70 ms of device time were these copies); the
+    kernels DMA only the touched tiles into the aliased buffer."""
 
     k: list
     v: list
-    k_scale: Optional[list]  # (B, n_kv, max_len, 1) f32 when int8
-    v_scale: Optional[list]
+    k_scale: Optional[list]  # (B, n_kv, s8, 128) f32 scale planes when int8
+    v_scale: Optional[list]  # position p at (p // 128, p % 128) — kv_update
 
 
 jax.tree_util.register_pytree_node(
@@ -141,11 +150,13 @@ class LlamaEngine:
         L = cfg.num_hidden_layers
         kv_shape = (max_batch, cfg.num_key_value_heads, max_len, cfg.head_dim)
         if self.kv_int8:
+            plane = lambda: scale_plane_init(
+                max_batch, cfg.num_key_value_heads, max_len)
             self.cache = KVCache(
                 [jnp.zeros(kv_shape, jnp.int8) for _ in range(L)],
                 [jnp.zeros(kv_shape, jnp.int8) for _ in range(L)],
-                [jnp.zeros((*kv_shape[:-1], 1), jnp.float32) for _ in range(L)],
-                [jnp.zeros((*kv_shape[:-1], 1), jnp.float32) for _ in range(L)])
+                [plane() for _ in range(L)],
+                [plane() for _ in range(L)])
         else:
             self.cache = KVCache(
                 [jnp.zeros(kv_shape, dtype) for _ in range(L)],
@@ -202,32 +213,46 @@ class LlamaEngine:
         return sample_tokens(logits, key, temps, top_ks, top_ps)
 
     # ------------------------------------------------------------------
+    def _set_plane(self, plane, slots, scales, seq_len):
+        """Write (N, n_kv, seq, 1) scales into a (B, n_kv, s8, 128) plane at
+        positions [0, seq) of each slot. XLA scatter is fine HERE: planes
+        are ~2 MB so the copy it materializes is noise (unlike the value
+        caches, which go through the kv_update kernels)."""
+        B, H, s8, _ = plane.shape
+        flat = plane.reshape(B, H, s8 * 128)
+        flat = flat.at[slots, :, :seq_len].set(scales[..., 0])
+        return flat.reshape(B, H, s8, 128)
+
     def _write_kv(self, cache: KVCache, li, slot, pos, k_new, v_new):
-        """Write (n_kv, s, hd) k/v into cache layer li, slot, at pos."""
-        upd = lambda arr, val: jax.lax.dynamic_update_slice(
-            arr, val[None], (slot, 0, pos, 0))
+        """Write (n_kv, s, hd) k/v into cache layer li, slot, at pos=0
+        (single-request prefill)."""
+        del pos  # always 0: prefill writes the sequence head
+        slots = jnp.reshape(slot, (1,))
         k, v = list(cache.k), list(cache.v)
         if self.kv_int8:
             kc, ks = _quantize_kv(k_new)
             vc, vs = _quantize_kv(v_new)
-            k[li] = upd(cache.k[li], kc)
-            v[li] = upd(cache.v[li], vc)
+            k[li] = kv_cache_prefill_write(cache.k[li], kc[None], slots)
+            v[li] = kv_cache_prefill_write(cache.v[li], vc[None], slots)
             k_s, v_s = list(cache.k_scale), list(cache.v_scale)
-            k_s[li] = upd(cache.k_scale[li], ks)
-            v_s[li] = upd(cache.v_scale[li], vs)
+            seq = k_new.shape[1]
+            k_s[li] = self._set_plane(cache.k_scale[li], slots, ks[None], seq)
+            v_s[li] = self._set_plane(cache.v_scale[li], slots, vs[None], seq)
             return KVCache(k, v, k_s, v_s)
-        k[li] = upd(cache.k[li], k_new.astype(cache.k[li].dtype))
-        v[li] = upd(cache.v[li], v_new.astype(cache.v[li].dtype))
+        k[li] = kv_cache_prefill_write(
+            cache.k[li], k_new[None].astype(cache.k[li].dtype), slots)
+        v[li] = kv_cache_prefill_write(
+            cache.v[li], v_new[None].astype(cache.v[li].dtype), slots)
         return KVCache(k, v, None, None)
 
     def _read_kv(self, cache: KVCache, li, kv_len: Optional[int] = None):
         """-> (B, n_kv, kv_len, hd) dequantized."""
         sl = slice(None) if kv_len is None else slice(0, kv_len)
         if self.kv_int8:
-            k = (cache.k[li][:, :, sl].astype(self.dtype)
-                 * cache.k_scale[li][:, :, sl].astype(self.dtype))
-            v = (cache.v[li][:, :, sl].astype(self.dtype)
-                 * cache.v_scale[li][:, :, sl].astype(self.dtype))
+            ks = scale_plane_view(cache.k_scale[li])[:, :, sl, None]
+            vs = scale_plane_view(cache.v_scale[li])[:, :, sl, None]
+            k = cache.k[li][:, :, sl].astype(self.dtype) * ks.astype(self.dtype)
+            v = cache.v[li][:, :, sl].astype(self.dtype) * vs.astype(self.dtype)
             return k, v
         return cache.k[li][:, :, sl], cache.v[li][:, :, sl]
 
@@ -371,18 +396,18 @@ class LlamaEngine:
                     kc, ks = _quantize_kv(k)
                     vc, vs = _quantize_kv(v)
                     cks, cvs = list(cache.k_scale), list(cache.v_scale)
-                    ck[_li] = cache.k[_li].at[slots, :, :seq_len].set(kc)
-                    cv[_li] = cache.v[_li].at[slots, :, :seq_len].set(vc)
-                    cks[_li] = cache.k_scale[_li].at[
-                        slots, :, :seq_len].set(ks)
-                    cvs[_li] = cache.v_scale[_li].at[
-                        slots, :, :seq_len].set(vs)
+                    ck[_li] = kv_cache_prefill_write(cache.k[_li], kc, slots)
+                    cv[_li] = kv_cache_prefill_write(cache.v[_li], vc, slots)
+                    cks[_li] = self._set_plane(
+                        cache.k_scale[_li], slots, ks, seq_len)
+                    cvs[_li] = self._set_plane(
+                        cache.v_scale[_li], slots, vs, seq_len)
                     cache = KVCache(ck, cv, cks, cvs)
                 else:
-                    ck[_li] = cache.k[_li].at[slots, :, :seq_len].set(
-                        k.astype(cache.k[_li].dtype))
-                    cv[_li] = cache.v[_li].at[slots, :, :seq_len].set(
-                        v.astype(cache.v[_li].dtype))
+                    ck[_li] = kv_cache_prefill_write(
+                        cache.k[_li], k.astype(cache.k[_li].dtype), slots)
+                    cv[_li] = kv_cache_prefill_write(
+                        cache.v[_li], v.astype(cache.v[_li].dtype), slots)
                     cache = KVCache(ck, cv, None, None)
                 return k, v
             x = self._block(p, x, positions, mask, commit)
@@ -413,32 +438,35 @@ class LlamaEngine:
 
         for li, p in enumerate(params["layers"]):
             def commit(k, v, _li=li):
-                """Scatter each slot's new kv at (slot, :, lengths[slot]) —
-                touches B*n_kv*hd elements — then return the visible window."""
+                """Write each slot's new kv at (slot, :, lengths[slot]) via
+                the kv_update RMW kernel (touches only the 8-row tiles), then
+                return the visible window."""
                 nonlocal cache
                 ck, cv = list(cache.k), list(cache.v)
                 if self.kv_int8:
                     kc, ks = _quantize_kv(k[:, :, 0])
                     vc, vs = _quantize_kv(v[:, :, 0])
                     cks, cvs = list(cache.k_scale), list(cache.v_scale)
-                    ck[_li] = cache.k[_li].at[b_idx, :, lengths, :].set(kc)
-                    cv[_li] = cache.v[_li].at[b_idx, :, lengths, :].set(vc)
-                    cks[_li] = cache.k_scale[_li].at[
-                        b_idx, :, lengths, :].set(ks)
-                    cvs[_li] = cache.v_scale[_li].at[
-                        b_idx, :, lengths, :].set(vs)
+                    (ck[_li], cv[_li], cks[_li], cvs[_li]) = kv_cache_write(
+                        (cache.k[_li], cache.v[_li],
+                         cache.k_scale[_li], cache.v_scale[_li]),
+                        (kc, vc, ks[..., 0], vs[..., 0]), lengths)
                     cache = KVCache(ck, cv, cks, cvs)
                     if self.attn_kernel:
                         # hand the raw int8 buffers (full max_len shape —
                         # the kernel's BlockSpec bounds reads to kv_len)
                         return ("int8win", kv_len,
-                                cache.k[_li], cache.k_scale[_li][..., 0],
-                                cache.v[_li], cache.v_scale[_li][..., 0])
+                                cache.k[_li],
+                                scale_plane_view(
+                                    cache.k_scale[_li], self.max_len),
+                                cache.v[_li],
+                                scale_plane_view(
+                                    cache.v_scale[_li], self.max_len))
                 else:
-                    ck[_li] = cache.k[_li].at[b_idx, :, lengths, :].set(
-                        k[:, :, 0].astype(cache.k[_li].dtype))
-                    cv[_li] = cache.v[_li].at[b_idx, :, lengths, :].set(
-                        v[:, :, 0].astype(cache.v[_li].dtype))
+                    ck[_li], cv[_li] = kv_cache_write(
+                        (cache.k[_li], cache.v[_li]),
+                        (k[:, :, 0].astype(cache.k[_li].dtype),
+                         v[:, :, 0].astype(cache.v[_li].dtype)), lengths)
                     cache = KVCache(ck, cv, None, None)
                 return self._read_kv(cache, _li, kv_len)
             x = self._block(p, x, positions, mask, commit)
