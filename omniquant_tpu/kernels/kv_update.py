@@ -154,8 +154,28 @@ def kv_cache_write(caches: Sequence[jax.Array], news: Sequence[jax.Array],
         else:  # (B, H) scalar per (slot, head)
             kinds.append("flat")
             news4.append(x[:, :, None, None])
-    return _kv_write(lengths, tuple(news4), tuple(caches),
-                     tuple(kinds), interpret=interpret)
+    # split into multiple pallas calls when the VMEM footprint would exceed
+    # the ~16 MB scoped limit (e.g. int8 codes + f32 scale planes for both
+    # k and v in one call). Each cache costs one (B, H, 8, D) scratch tile
+    # PLUS its news block, which Mosaic pads up to the same tile shape.
+    budget = 10 * 1024 * 1024
+    groups, cur, cur_bytes = [], [], 0
+    for i, c in enumerate(caches):
+        sz = 2 * c.shape[0] * c.shape[1] * 8 * c.shape[3] * c.dtype.itemsize
+        if cur and cur_bytes + sz > budget:
+            groups.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append(i)
+        cur_bytes += sz
+    groups.append(cur)
+    out = [None] * len(caches)
+    for g in groups:
+        res = _kv_write(
+            lengths, tuple(news4[i] for i in g), tuple(caches[i] for i in g),
+            tuple(kinds[i] for i in g), interpret=interpret)
+        for i, r in zip(g, res):
+            out[i] = r
+    return tuple(out)
 
 
 def scale_plane_init(B: int, H: int, S: int, dtype=jnp.float32) -> jax.Array:
