@@ -5,3 +5,4 @@ from .sharding import (
     shard_params,
     to_shardings,
 )
+from .ring_attention import ring_attention
