@@ -1,13 +1,26 @@
-"""Benchmark: 7B-geometry W4A16g128 packed decode throughput on one chip.
+"""Benchmark: 7B-geometry packed decode/prefill throughput on one chip.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "tok/s", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "tok/s", "vs_baseline": N, ...extras}
 
+Headline metric (value): aggregate decode throughput of the continuous-
+batching serving engine — batch 32, prompt 128, decode over a 256-slot
+attention window (kv bucket), bf16 KV cache, max_len 512 — on one TPU
+chip with W4A16g128 weights streamed through the fused Pallas
+dequant-matmul kernels, stepping 8 tokens per host dispatch (step_n).
 Baseline: 134.2 tok/s — the reference's MLC-LLM LLaMA-7B W4A16g128 on
-A100-80G (BASELINE.md "Inference throughput"). We measure the continuous-
-batching decode throughput of the serving engine (batch 8, real attention
-over a 2048-slot KV cache) on one TPU chip, with weights streamed through
-the fused Pallas dequant-matmul kernels.
+A100-80G (BASELINE.md "Inference throughput"; effectively single-stream,
+so vs_baseline compares aggregate against single-stream).
+
+Extras (best-effort; omitted if they fail):
+  w3g128 / w2g128   same decode setting at 3/2-bit packed weights
+  kv2048_int8       batch 8, 2048-token window, int8 KV + fused attention
+  prefill_tok_s     batched prefill throughput (32 x 128-token prompts)
+  pct_roofline      measured step time vs. the HBM-bound lower bound at
+                    the chip's MEASURED peak bandwidth (437 GB/s on this
+                    tunneled v5e; elementwise r+w microbenchmark), counting
+                    packed weights + scales, embedding head, and KV window
+                    reads + writes
 """
 import json
 import sys
@@ -17,13 +30,14 @@ import numpy as np
 
 
 BASELINE_TOK_S = 134.2
+MEASURED_PEAK_GBPS = 437.0  # elementwise r+w microbenchmark, this chip
 BATCH = 32
 DECODE_STEPS = 24
 PREFILL_LEN = 128
-MAX_LEN = 512  # cache sized to the bench workload; 15.75G HBM budget
+MAX_LEN = 512
 
 
-def build_7b_packed_params(cfg, dtype):
+def build_7b_packed_params(cfg, dtype, bits: int = 4):
     """Random 7B-geometry packed weights. Layers share the same packed
     buffers (identical shapes) — timing-equivalent to distinct weights while
     keeping host-side generation fast."""
@@ -32,7 +46,7 @@ def build_7b_packed_params(cfg, dtype):
     from omniquant_tpu.quant import QuantConfig, pack_weight
 
     rng = np.random.default_rng(0)
-    wcfg = QuantConfig(n_bits=4, group_size=128)
+    wcfg = QuantConfig(n_bits=bits, group_size=128)
     H, I = cfg.hidden_size, cfg.intermediate_size
     kv = cfg.num_key_value_heads * cfg.head_dim
 
@@ -67,50 +81,155 @@ def build_7b_packed_params(cfg, dtype):
     }
 
 
-def main():
+def free_buffers(*trees):
+    """Explicitly delete device buffers (python del alone leaves deletion
+    to async GC — the next scheme's allocation races it and OOMs)."""
     import jax
-    import jax.numpy as jnp
 
+    for t in trees:
+        for x in jax.tree.leaves(t):
+            if hasattr(x, "delete"):
+                try:
+                    x.delete()
+                except Exception:
+                    pass
+
+
+def make_cfg(max_len):
     from omniquant_tpu.models import llama as jllama
-    from omniquant_tpu.serving.engine import LlamaEngine
 
-    cfg = jllama.LlamaConfig(
+    return jllama.LlamaConfig(
         vocab_size=32000, hidden_size=4096, intermediate_size=11008,
         num_hidden_layers=32, num_attention_heads=32, num_key_value_heads=32,
-        max_position_embeddings=MAX_LEN,
+        max_position_embeddings=max_len,
     )
-    t0 = time.time()
-    params = build_7b_packed_params(cfg, jnp.bfloat16)
-    print(f"# built packed params in {time.time() - t0:.0f}s", file=sys.stderr)
 
-    eng = LlamaEngine(params, cfg, max_batch=BATCH, max_len=MAX_LEN,
-                      dtype=jnp.bfloat16)
+
+def weight_bytes(params):
+    import jax
+
+    return sum(
+        x.size * x.dtype.itemsize
+        for x in jax.tree.leaves(params["layers"])) + (
+        params["embed_tokens"].size * params["embed_tokens"].dtype.itemsize)
+
+
+def decode_tok_s(params, cfg, batch, max_len, kv_dtype="native",
+                 force_len=None, label=""):
+    """Steady-state decode throughput via step_n(8)."""
+    import jax.numpy as jnp
+
+    from omniquant_tpu.serving.engine import LlamaEngine
+
+    eng = LlamaEngine(params, cfg, max_batch=batch, max_len=max_len,
+                      dtype=jnp.bfloat16, kv_dtype=kv_dtype)
     rng = np.random.default_rng(1)
     t0 = time.time()
-    prompts = [list(rng.integers(0, 32000, PREFILL_LEN)) for _ in range(BATCH)]
-    slots = eng.add_requests(prompts)  # batched prefill: one dispatch
+    prompts = [list(rng.integers(0, 32000, PREFILL_LEN))
+               for _ in range(batch)]
+    slots = eng.add_requests(prompts)
     last = {s: eng._pending_next[s] for s in slots}
-    print(f"# batched prefill {BATCH}x{PREFILL_LEN} in {time.time() - t0:.0f}s "
-          "(incl. compile)", file=sys.stderr)
+    prefill_t = time.time() - t0
+    print(f"# [{label}] batched prefill {batch}x{PREFILL_LEN} in "
+          f"{prefill_t:.0f}s (incl. compile)", file=sys.stderr)
+    if force_len is not None:
+        eng.lengths[slots] = force_len
 
-    # warm both decode paths
-    last = eng.step(last)
+    def set_len():
+        if force_len is not None:
+            eng.lengths[slots] = force_len
+
+    chunks = eng.step_n(last, 8)  # warm/compile
+    last = {s: toks[-1] for s, toks in chunks.items()}
+    set_len()
     chunks = eng.step_n(last, 8)
     last = {s: toks[-1] for s, toks in chunks.items()}
+    set_len()
     t0 = time.time()
     rounds = DECODE_STEPS // 8
     for _ in range(rounds):
         chunks = eng.step_n(last, 8)
         last = {s: toks[-1] for s, toks in chunks.items()}
+        set_len()
     dt = time.time() - t0
-    tok_s = BATCH * rounds * 8 / dt
-    print(f"# {rounds} x step_n(8) x batch {BATCH}: {dt:.2f}s", file=sys.stderr)
+    step_ms = dt / (rounds * 8) * 1e3
+    tok_s = batch * rounds * 8 / dt
+    print(f"# [{label}] {rounds} x step_n(8) x batch {batch}: "
+          f"{step_ms:.2f} ms/step = {tok_s:.1f} tok/s", file=sys.stderr)
+
+    # second prefill measurement with the program already compiled
+    for s in slots:
+        eng.release(s)
+    t0 = time.time()
+    slots = eng.add_requests(prompts)
+    prefill_tok_s = batch * PREFILL_LEN / (time.time() - t0)
+    return tok_s, step_ms, prefill_tok_s, eng
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    extras = {}
+
+    # --- headline: W4A16g128, bf16 KV, kv bucket 256 ---
+    cfg = make_cfg(MAX_LEN)
+    t0 = time.time()
+    params = build_7b_packed_params(cfg, jnp.bfloat16, bits=4)
+    print(f"# built W4 packed params in {time.time() - t0:.0f}s",
+          file=sys.stderr)
+    w_bytes = weight_bytes(params)
+    tok_s, step_ms, prefill_tok_s, eng = decode_tok_s(
+        params, cfg, BATCH, MAX_LEN, label="w4g128")
+    extras["prefill_tok_s"] = round(prefill_tok_s, 1)
+    extras["step_ms"] = round(step_ms, 2)
+
+    # roofline: per-step HBM floor at measured peak bandwidth. kv bucket is
+    # 256 during these steps (prompt 128 + <=56 generated); bf16 cache.
+    kv_bucket = 256
+    L, NKV, HD = (cfg.num_hidden_layers, cfg.num_key_value_heads,
+                  cfg.head_dim)
+    kv_bytes = L * 2 * BATCH * NKV * kv_bucket * HD * 2
+    step_bytes = w_bytes + kv_bytes
+    ideal_ms = step_bytes / (MEASURED_PEAK_GBPS * 1e9) * 1e3
+    extras["pct_roofline"] = round(100 * ideal_ms / step_ms, 1)
+    extras["roofline_basis"] = (
+        f"{step_bytes / 1e9:.2f} GB/step @ {MEASURED_PEAK_GBPS:.0f} GB/s "
+        f"measured peak")
+    free_buffers(eng.cache, eng.params, params)
+    del eng, params
+
+    # --- extra schemes (best-effort) ---
+    for bits, key in ((3, "w3g128_tok_s"), (2, "w2g128_tok_s")):
+        try:
+            p = build_7b_packed_params(cfg, jnp.bfloat16, bits=bits)
+            ts, _, _, e = decode_tok_s(
+                p, cfg, BATCH, MAX_LEN, label=f"w{bits}g128")
+            extras[key] = round(ts, 1)
+            free_buffers(e.cache, e.params, p)
+            del p, e
+        except Exception as exc:  # degrade to headline-only
+            print(f"# w{bits} failed: {exc}", file=sys.stderr)
+
+    # --- long-window decode: kv 2048, int8 KV + fused attention ---
+    try:
+        cfg2 = make_cfg(2048)
+        p = build_7b_packed_params(cfg2, jnp.bfloat16, bits=4)
+        ts, sm, _, e = decode_tok_s(
+            p, cfg2, 8, 2048, kv_dtype="int8", force_len=2000,
+            label="kv2048-int8")
+        extras["kv2048_int8_tok_s"] = round(ts, 1)
+        free_buffers(e.cache, e.params, p)
+        del p, e
+    except Exception as exc:
+        print(f"# kv2048 failed: {exc}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "llama7b_w4a16g128_decode_tok_per_sec_per_chip",
         "value": round(tok_s, 1),
         "unit": "tok/s",
         "vs_baseline": round(tok_s / BASELINE_TOK_S, 2),
+        **extras,
     }))
 
 
