@@ -11,6 +11,7 @@ from .base import (
     rf,
 )
 from .caching import CachingLM, DummyLM
+from .remote import OpenAICompletionLM, TextSynthStyleLM
 from .categories import mmlu_rollup, subcategories, categories
 from .evaluator import evaluate, get_task_dict, make_table, pattern_match, simple_evaluate
 from .tasks import TASK_REGISTRY

@@ -269,23 +269,36 @@ class JaxLM(LM):
                     finalize(i, gen, u)
                 else:
                     live[s] = gen[-1]
-            for _ in range(self.max_gen_toks - 1):
-                if not live:
+            while live:
+                # decode up to 8 tokens per device dispatch (the host link
+                # dominates per-step latency); stop conditions are applied
+                # token-by-token within the chunk, truncating exactly where
+                # single-step decoding would have stopped
+                n = min(8, min(gen_cap[s] - len(generated[s])
+                               for s in live))
+                if n <= 0:
+                    for s in list(live):
+                        finalize(slot_req[s], generated[s],
+                                 untils[slot_req[s] - start])
                     break
-                nxt = eng.step(live)
+                chunks = eng.step_n(live, n)
                 live = {}
-                for s, tok in nxt.items():
+                for s, toks in chunks.items():
                     i = slot_req[s]
                     gen = generated[s]
-                    gen.append(tok)
-                    text = self.tok_decode(gen)
                     u = untils[i - start]
-                    if (any(x in text for x in u)
-                            or tok == self.eot_token_id
-                            or len(gen) >= gen_cap[s]):
-                        finalize(i, gen, u)
-                    else:
-                        live[s] = tok
+                    done = False
+                    for tok in toks:
+                        gen.append(tok)
+                        text = self.tok_decode(gen)
+                        if (any(x in text for x in u)
+                                or tok == self.eot_token_id
+                                or len(gen) >= gen_cap[s]):
+                            finalize(i, gen, u)
+                            done = True
+                            break
+                    if not done:
+                        live[s] = gen[-1]
             for s in list(live):  # hit max_gen_toks mid-flight
                 finalize(slot_req[s], generated[s], untils[slot_req[s] - start])
             for s in slots:
