@@ -37,7 +37,8 @@ def build_parser():
                    help="additionally save packed int32 weights")
     p.add_argument("--resume", type=str, default=None)
     p.add_argument("--calib_dataset", type=str, default="wikitext2",
-                   choices=["wikitext2", "ptb", "c4", "mix", "synthetic"])
+                   choices=["wikitext2", "ptb", "c4", "mix", "pile",
+                            "synthetic"])
     p.add_argument("--nsamples", type=int, default=128)
     p.add_argument("--batch_size", type=int, default=1)
     p.add_argument("--seqlen", type=int, default=2048)

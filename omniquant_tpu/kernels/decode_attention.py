@@ -142,7 +142,14 @@ def decode_attention_int8(q, k_codes, k_scale, v_codes, v_scale, lengths,
             score_scale, out_dtype)
     n_rep = n_heads // n_kv
     hg = _head_group(n_kv)
-    chunk = min(_MAX_CHUNK, kv_len)
+    # chunk must DIVIDE kv_len or the grid (kv_len // chunk) silently drops
+    # the tail (e.g. kv_len=1536, chunk=1024 would attend only 1024
+    # positions). Pick the largest 128-multiple divisor <= _MAX_CHUNK.
+    if kv_len % 128 == 0:
+        chunk = max(c for c in range(128, min(_MAX_CHUNK, kv_len) + 1, 128)
+                    if kv_len % c == 0)
+    else:
+        chunk = kv_len  # interpret-only (compiled path fell back above)
 
     q4 = q.reshape(B, n_kv, n_rep, hd)
     grid = (B, n_kv // hg, kv_len // chunk)

@@ -154,6 +154,9 @@ def kv_cache_write(caches: Sequence[jax.Array], news: Sequence[jax.Array],
         else:  # (B, H) scalar per (slot, head)
             kinds.append("flat")
             news4.append(x[:, :, None, None])
+            assert c.shape[2] % 8 == 0, (
+                f"scale plane sublane dim {c.shape[2]} must be a multiple "
+                "of 8 (allocate with scale_plane_init)")
     # split into multiple pallas calls when the VMEM footprint would exceed
     # the ~16 MB scoped limit (e.g. int8 codes + f32 scale planes for both
     # k and v in one call). Each cache costs one (B, H, 8, D) scratch tile
@@ -180,11 +183,15 @@ def kv_cache_write(caches: Sequence[jax.Array], news: Sequence[jax.Array],
 
 def scale_plane_init(B: int, H: int, S: int, dtype=jnp.float32) -> jax.Array:
     """Allocate a per-token scale cache in the DMA-friendly plane layout
-    (B, H, max(8, ceil(S/128)), 128): position p lives at
-    (p // 128, p % 128). The sublane dim is padded to >= 8 so the kernel's
-    8-sublane RMW tile never reads out of bounds (S < 1024 wastes a few
-    KB)."""
-    return jnp.zeros((B, H, max(8, -(-S // 128)), 128), dtype)
+    (B, H, s8, 128): position p lives at (p // 128, p % 128). The sublane
+    dim s8 = ceil(S/128) rounded UP TO A MULTIPLE OF 8 so the kernel's
+    8-sublane RMW tile at sa=(p//128//8)*8 is always in bounds — a non-
+    multiple (e.g. S=1536 -> 12 sublanes) would make Mosaic clamp the
+    dynamic-slice base for p >= 1024 and silently write scales to the
+    wrong plane rows."""
+    lanes_rows = -(-S // 128)          # rows of 128 lanes
+    s8 = -(-lanes_rows // 8) * 8       # rounded up to 8 sublanes
+    return jnp.zeros((B, H, max(8, s8), 128), dtype)
 
 
 def scale_plane_view(plane: jax.Array, kv_len: int = None) -> jax.Array:

@@ -88,8 +88,13 @@ def _qmm_kernel(x_ref, qw_ref, sc_ref, zp_ref, out_ref, acc_ref,
         # groups would fragment the contraction into many tiny MXU passes.
         m = xv.shape[0]
         codes_f = codes.astype(xv.dtype)
-        xsum = jnp.sum(xv.reshape(m, n_g, gs_rows), axis=-1)  # (m, n_g)
-        acc = jnp.dot(xsum, off, preferred_element_type=jnp.float32)
+        # group sums accumulate 128+ adds — do them in f32 (bf16 inputs lose
+        # mantissa bits over a long chain; the cost is VPU-side and tiny next
+        # to the MXU passes)
+        xsum = jnp.sum(
+            xv.astype(jnp.float32).reshape(m, n_g, gs_rows), axis=-1)
+        acc = jnp.dot(xsum, off.astype(jnp.float32),
+                      preferred_element_type=jnp.float32)
         for g in range(n_g):
             d = jnp.dot(xv[:, g * gs_rows : (g + 1) * gs_rows],
                         codes_f[g * gs_rows : (g + 1) * gs_rows],

@@ -25,7 +25,8 @@ import numpy as np
 from ..kernels.kv_update import (
     kv_cache_prefill_write, kv_cache_write, scale_plane_init,
     scale_plane_view)
-from ..models.common import ActQuantSpec, NO_ACT_QUANT, linear, repeat_kv, rms_norm
+from ..models.common import (
+    ActQuantSpec, NO_ACT_QUANT, linear, maybe_quant, repeat_kv, rms_norm)
 from ..models import llama as jllama
 from ..quant.packing import PackedWeight
 from .sampling import sample_tokens
@@ -123,45 +124,24 @@ class LlamaEngine:
         # window (48.2 vs 53.7 ms/step at kv 256; 45.6 vs 62.2 at kv 2048)
         # and beats the bf16-cache path from ~1-2k-token windows up while
         # halving cache HBM — crossover table in kernels/decode_attention.
+        # a non-identity softmax-probs quantizer (spec.p at < 16 bits) can't
+        # be honored inside the fused kernels (probs never materialize) —
+        # fall back to the dense paths so serving semantics == eval. The
+        # reference's default p config (16-bit fix0to1) is an identity
+        # (quantizer.py forward returns x for n_bits >= 16), so the standard
+        # W4A4 spec keeps the fast paths.
+        self._p_quant_active = spec.p is not None and spec.p.enabled
         if attn_kernel is None:
             attn_kernel = True
-        self.attn_kernel = attn_kernel and self.kv_int8
+        self.attn_kernel = (attn_kernel and self.kv_int8
+                            and not self._p_quant_active)
         # blockwise (flash) attention for prefill at/above this prompt
         # length: O(block²) working set instead of the (S, S) score matrix.
         # Engines whose mask carries extra content (falcon ALiBi) disable it.
         self.flash_min_len = flash_min_len
         self.spec = spec
-        self.params = jax.tree.map(
-            lambda x: x.astype(dtype) if (
-                hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
-            ) else x,
-            params, is_leaf=lambda x: x is None)
-        # fuse qkv and gate/up packed projections into single kernel calls
-        for p in self.params["layers"]:
-            qkv = fuse_packed([p["q_proj"], p["k_proj"], p["v_proj"]]) if (
-                isinstance(p.get("q_proj"), PackedWeight)) else None
-            if qkv is not None:
-                p["qkv_fused"] = qkv
-            gu = fuse_packed([p["gate_proj"], p["up_proj"]]) if (
-                isinstance(p.get("gate_proj"), PackedWeight)) else None
-            if gu is not None:
-                p["gate_up_fused"] = gu
-
-        L = cfg.num_hidden_layers
-        kv_shape = (max_batch, cfg.num_key_value_heads, max_len, cfg.head_dim)
-        if self.kv_int8:
-            plane = lambda: scale_plane_init(
-                max_batch, cfg.num_key_value_heads, max_len)
-            self.cache = KVCache(
-                [jnp.zeros(kv_shape, jnp.int8) for _ in range(L)],
-                [jnp.zeros(kv_shape, jnp.int8) for _ in range(L)],
-                [plane() for _ in range(L)],
-                [plane() for _ in range(L)])
-        else:
-            self.cache = KVCache(
-                [jnp.zeros(kv_shape, dtype) for _ in range(L)],
-                [jnp.zeros(kv_shape, dtype) for _ in range(L)],
-                None, None)
+        self.params = self._prep_params(params)
+        self.cache = self._init_cache()
 
         # host-side slot state
         self.lengths = np.zeros(max_batch, np.int32)
@@ -176,6 +156,53 @@ class LlamaEngine:
         self._dispatch = 0  # folds into the key once per device dispatch
 
         self._pending_next = {}
+        self._build_steps()
+
+    def _prep_params(self, params: dict) -> dict:
+        """Cast floating leaves to the engine dtype and fuse qkv / gate+up
+        packed projections into single kernel calls. Overridden by the
+        tensor-parallel engine (tp-aware fusion + sharded placement)."""
+        params = jax.tree.map(
+            lambda x: x.astype(self.dtype) if (
+                hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+            ) else x,
+            params, is_leaf=lambda x: x is None)
+        for p in params["layers"]:
+            qkv = fuse_packed([p["q_proj"], p["k_proj"], p["v_proj"]]) if (
+                isinstance(p.get("q_proj"), PackedWeight)) else None
+            if qkv is not None:
+                p["qkv_fused"] = qkv
+            gu = fuse_packed([p["gate_proj"], p["up_proj"]]) if (
+                isinstance(p.get("gate_proj"), PackedWeight)) else None
+            if gu is not None:
+                p["gate_up_fused"] = gu
+        return params
+
+    def _cache_n_kv(self) -> int:
+        """KV-head count of the allocated cache buffers (the GLOBAL count —
+        the TP engine allocates globally and shards on this axis)."""
+        return self.cfg.num_key_value_heads
+
+    def _init_cache(self) -> KVCache:
+        L = self.cfg.num_hidden_layers
+        n_kv = self._cache_n_kv()
+        kv_shape = (self.max_batch, n_kv, self.max_len, self.cfg.head_dim)
+        if self.kv_int8:
+            plane = lambda: scale_plane_init(
+                self.max_batch, n_kv, self.max_len)
+            return KVCache(
+                [jnp.zeros(kv_shape, jnp.int8) for _ in range(L)],
+                [jnp.zeros(kv_shape, jnp.int8) for _ in range(L)],
+                [plane() for _ in range(L)],
+                [plane() for _ in range(L)])
+        return KVCache(
+            [jnp.zeros(kv_shape, self.dtype) for _ in range(L)],
+            [jnp.zeros(kv_shape, self.dtype) for _ in range(L)],
+            None, None)
+
+    def _build_steps(self):
+        """jit the prefill/decode step impls. Overridden by the TP engine
+        (wraps each impl in shard_map over the tp mesh first)."""
         self._prefill = jax.jit(self._prefill_impl, donate_argnums=(1,),
                                 static_argnames=("seq_len", "do_sample"))
         self._prefill_multi = jax.jit(
@@ -194,7 +221,7 @@ class LlamaEngine:
 
     def _flash_ok(self) -> bool:
         """Whether the flash prefill path is valid for this engine."""
-        return True
+        return not self._p_quant_active
 
     def _alibi_slopes(self):
         """Per-head ALiBi slopes for the flash kernel (None = plain causal).
@@ -306,11 +333,29 @@ class LlamaEngine:
             up = linear(h, p["up_proj"], self.spec.act)
         return x + linear(jax.nn.silu(gate) * up, p["down_proj"], self.spec.act)
 
+    def _quant_qkv(self, q, k, v):
+        """Apply the spec's q/k/v activation quantizers at the reference's
+        sites (models/common.py:126-139 — per-token over head_dim, post-RoPE
+        for llama). k/v are quantized BEFORE the cache commit: per-token
+        quant treats each (b, h, pos) row independently, so quantize-once-
+        at-write equals the eval path's quantize-at-every-attend. Falcon
+        overrides to identity (reference falcon has no QuantMatMul —
+        int_falcon_layer.py attention matmuls are unquantized)."""
+        return (maybe_quant(q, self.spec.q), maybe_quant(k, self.spec.k),
+                maybe_quant(v, self.spec.v))
+
+    def _sm_scale(self) -> float:
+        """Score scale applied after q@k^T. OPT returns 1.0 (its scale is
+        folded into q pre-quantization, matching the reference's ordering —
+        int_opt_layer.py:96)."""
+        return float(self.cfg.head_dim) ** -0.5
+
     def _attn_core(self, p, hidden, positions, mask, commit):
         """qkv -> cache commit -> attention -> output projection."""
         cfg = self.cfg
         b, s, _ = hidden.shape
         q, k, v = self._attn_qkv(p, hidden, positions)
+        q, k, v = self._quant_qkv(q, k, v)
         committed = commit(k, v)
         if len(committed) == 6 and committed[0] == "int8win":
             from ..kernels.decode_attention import decode_attention_int8
@@ -319,7 +364,7 @@ class LlamaEngine:
             attn = decode_attention_int8(
                 q[:, :, 0], kc, ks, vc, vs,
                 positions[:, 0].astype(jnp.int32), kv_len,
-                float(cfg.head_dim) ** -0.5, out_dtype=self.dtype)
+                self._sm_scale(), out_dtype=self.dtype)
             return self._attn_out(p, attn.reshape(b, s, -1))
         k_all, v_all = committed
         if (s >= max(2, self.flash_min_len) and k_all.shape[2] == s
@@ -329,15 +374,16 @@ class LlamaEngine:
             from ..kernels.flash_attention import flash_attention
 
             attn = flash_attention(
-                q, k_all, v_all, sm_scale=float(cfg.head_dim) ** -0.5,
+                q, k_all, v_all, sm_scale=self._sm_scale(),
                 causal=True, alibi_slopes=self._alibi_slopes())
             attn = attn.transpose(0, 2, 1, 3).reshape(b, s, -1)
             return self._attn_out(p, attn)
         k_r = repeat_kv(k_all, cfg.n_rep)
         v_r = repeat_kv(v_all, cfg.n_rep)
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k_r) / (cfg.head_dim**0.5)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k_r) * self._sm_scale()
         probs = jax.nn.softmax(
             (scores + mask).astype(jnp.float32), axis=-1).astype(self.dtype)
+        probs = maybe_quant(probs, self.spec.p)
         attn = jnp.einsum("bhqk,bhkd->bhqd", probs, v_r)
         attn = attn.transpose(0, 2, 1, 3).reshape(b, s, -1)
         return self._attn_out(p, attn)
@@ -576,9 +622,23 @@ class LlamaEngine:
         self.top_ks[slot] = 0
         self.top_ps[slot] = 1.0
 
+    def _check_capacity(self, slots, n: int):
+        """Refuse to decode a slot whose write position would reach max_len:
+        the kv_update RMW kernel's dynamic-slice base gets CLAMPED by Mosaic
+        at pos == max_len, silently overwriting the live row at max_len-8
+        (corrupting attended history) instead of dropping the write the way
+        the old XLA scatter did."""
+        over = [s for s in slots if self.lengths[s] + n > self.max_len]
+        if over:
+            raise RuntimeError(
+                f"slots {over} would exceed max_len={self.max_len} after "
+                f"{n} step(s) (lengths {[int(self.lengths[s]) for s in over]});"
+                " release them or build the engine with a larger max_len")
+
     def step(self, last_tokens: dict) -> dict:
         """One decode step. last_tokens: {slot: token}. Returns
         {slot: next_token_logits_argmax} for active slots."""
+        self._check_capacity(last_tokens, 1)
         toks = np.zeros(self.max_batch, np.int32)
         for s, t in last_tokens.items():
             toks[s] = t
@@ -605,6 +665,7 @@ class LlamaEngine:
         Requests can only join/leave every n tokens — the coarser continuous-
         batching granularity trades scheduling latency for host-link
         round-trips."""
+        self._check_capacity(last_tokens, n)
         toks = np.zeros(self.max_batch, np.int32)
         for s, t in last_tokens.items():
             toks[s] = t
@@ -701,14 +762,25 @@ class OPTEngine(LlamaEngine):
             q = linear(hidden, p["q_proj"], self.spec.act)
             k = linear(hidden, p["k_proj"], self.spec.act)
             v = linear(hidden, p["v_proj"], self.spec.act)
-        # fold the reference's pre-matmul q scaling (int_opt_layer.py:96)
-        # into q so attention_core's 1/sqrt(hd) post-scale stays correct:
-        # the engine scores divide by sqrt(hd) once, matching either order
+        # the reference's OPT ordering (int_opt_layer.py:96-118, mirrored by
+        # models/opt.py:95-100): q pre-scaled by hd**-0.5 THEN quantized,
+        # and q/k/v quantized per-token over the FULL hidden dim before the
+        # head reshape (unlike llama's per-head rows). _sm_scale() is 1.0 so
+        # the shared attention paths apply no further scaling.
         hd = cfg.head_dim
+        q = maybe_quant(q * (hd ** -0.5), self.spec.q)
+        k = maybe_quant(k, self.spec.k)
+        v = maybe_quant(v, self.spec.v)
         q = q.reshape(b, s, cfg.num_attention_heads, hd).transpose(0, 2, 1, 3)
         k = k.reshape(b, s, cfg.num_attention_heads, hd).transpose(0, 2, 1, 3)
         v = v.reshape(b, s, cfg.num_attention_heads, hd).transpose(0, 2, 1, 3)
         return q, k, v
+
+    def _quant_qkv(self, q, k, v):
+        return q, k, v  # done pre-reshape in _attn_qkv (reference ordering)
+
+    def _sm_scale(self) -> float:
+        return 1.0  # folded into q in _attn_qkv
 
     def _attn_out(self, p, attn):
         return linear(attn, p["out_proj"], self.spec.act)
@@ -757,6 +829,12 @@ class FalconEngine(LlamaEngine):
         from ..models.falcon import alibi_slopes
 
         return alibi_slopes(self._fcfg.num_attention_heads)
+
+    def _quant_qkv(self, q, k, v):
+        """Falcon attention matmuls are unquantized in the reference
+        (int_falcon_layer.py has no QuantMatMul; models/falcon.py:207 uses
+        NO_ACT_QUANT) — only spec.act at the linears applies."""
+        return q, k, v
 
     def _embed(self, params, tokens, positions):
         from ..models import falcon as jfalcon

@@ -201,3 +201,31 @@ def test_offload_layers_matches_resident(tiny_opt, calib_data):
     np.testing.assert_allclose(
         np.asarray(q1["layers"][1]["fc1"]["weight"]),
         np.asarray(q2["layers"][1]["fc1"]["weight"]), atol=1e-6)
+
+
+def test_main_exposes_pile_choice_and_dispatch(tmp_path):
+    """--calib_dataset pile parses (reference main.py:201 parity) and
+    get_loaders('pile') routes to the jsonl pile loader."""
+    import json
+    import main as cli
+    from omniquant_tpu.calib.data import get_loaders
+
+    args = cli.build_parser().parse_args(
+        ["--model", "x", "--calib_dataset", "pile"])
+    assert args.calib_dataset == "pile"
+
+    pile_file = tmp_path / "val.jsonl"
+    with open(pile_file, "w") as f:
+        for i in range(6):
+            f.write(json.dumps({"text": "the quick brown fox " * 50}) + "\n")
+
+    class Tok:
+        def __call__(self, s, return_tensors=None):
+            class R:
+                input_ids = np.asarray(
+                    [[ord(c) % 97 for c in s[:4096]]], np.int32)
+            return R()
+
+    train, _ = get_loaders("pile", nsamples=2, seed=0, seqlen=16,
+                           tokenizer=Tok(), pile_data_files=str(pile_file))
+    assert train.shape == (2, 16)

@@ -416,3 +416,25 @@ def test_greedy_until_cached_matches_uncached(lm):
     finally:
         lm.max_gen_toks = 256
     assert cached == oracle
+
+
+def test_greedy_until_cached_matches_uncached_w4a4():
+    """Same oracle equality under a W4A4 ActQuantSpec: the engine must apply
+    the q/k/p/v attention quantizers the eval forward applies (VERDICT r2
+    #4 — previously the engine silently dropped them, so engine-backed task
+    generation measured a different model for weight-activation schemes)."""
+    from omniquant_tpu.models.common import ActQuantSpec
+
+    cfg = jopt.OPTConfig(
+        vocab_size=128, hidden_size=32, ffn_dim=64, num_hidden_layers=2,
+        num_attention_heads=4, max_position_embeddings=256,
+    )
+    params = jopt.init_params(jax.random.PRNGKey(0), cfg)
+    qlm = JaxLM(OPT, params, cfg, CharTokenizer(), seqlen=128, batch_size=4,
+                spec=ActQuantSpec.from_bits(4))
+    reqs = [("abcabc", ["\n"]), ("hello wor", ["q", "zz"]),
+            ("the quick brown", ["!"])]
+    qlm.max_gen_toks = 10
+    cached = qlm.greedy_until(reqs)
+    oracle = qlm._greedy_until_uncached(reqs)
+    assert cached == oracle

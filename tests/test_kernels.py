@@ -92,6 +92,21 @@ def test_kernel_bf16_input():
         np.asarray(got, dtype=np.float32), acc, rtol=2e-2, atol=2e-1)
 
 
+def test_kernel_bf16_vs_f32_dequant_oracle():
+    """bf16 coarse-group path (post-matmul group scaling) against the TRUE
+    f32-dequant reference — bounds the total precision loss of the bf16
+    factorization rather than mirroring it (the f32 group-sum accumulation
+    keeps the rank-1 zero-offset term exact)."""
+    pw = make_packed(4, 128, out_f=256, in_f=1024, seed=11)
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.standard_normal((4, 1024)), jnp.bfloat16)
+    got = quant_matmul(x, pw, interpret=True)
+    ref = quant_matmul_reference(x.astype(jnp.float32), pw)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref),
+        rtol=2e-2, atol=np.abs(np.asarray(ref)).max() * 2e-2)
+
+
 def test_kernel_fallback_odd_n():
     """out_features not a multiple of 128 falls back to the dense path."""
     pw = make_packed(4, 64, out_f=100, in_f=256)
@@ -110,10 +125,18 @@ def test_decode_attention_int8_matches_oracle():
         decode_attention_int8, decode_attention_int8_reference)
 
     rng = np.random.default_rng(0)
-    for (B, n_kv, n_rep, kv_len, hd, max_len) in [
-            (4, 4, 1, 64, 128, 64),     # MHA, window == cache
-            (2, 2, 4, 128, 128, 512),   # GQA, window < cache
-            (3, 8, 2, 256, 128, 256)]:
+    for (B, n_kv, n_rep, kv_len, hd, max_len, lengths) in [
+            (4, 4, 1, 64, 128, 64, None),     # MHA, window == cache
+            (2, 2, 4, 128, 128, 512, None),   # GQA, window < cache
+            (3, 8, 2, 256, 128, 256, None),
+            # multi-chunk online-softmax path (grid dim 3 > 1, the engine's
+            # default for 2048-token int8 windows): lengths straddling the
+            # 1024 chunk boundary exercise the (m, l, acc) recurrence and
+            # the c*chunk <= length skip logic
+            (4, 4, 2, 2048, 128, 2048, [1023, 1024, 2000, 37]),
+            # non-power-of-two window: chunk must divide kv_len (1536 ->
+            # chunk 768, NOT min(1024, kv_len) which would drop the tail)
+            (2, 4, 1, 1536, 128, 1536, [1400, 600])]:
         n_heads = n_kv * n_rep
         q = jnp.asarray(rng.standard_normal((B, n_heads, hd)), jnp.bfloat16)
         kc = jnp.asarray(
@@ -124,7 +147,9 @@ def test_decode_attention_int8_matches_oracle():
             rng.uniform(0.001, 0.02, (B, n_kv, max_len)), jnp.float32)
         vs = jnp.asarray(
             rng.uniform(0.001, 0.02, (B, n_kv, max_len)), jnp.float32)
-        lengths = jnp.asarray(rng.integers(0, kv_len - 1, (B,)), jnp.int32)
+        if lengths is None:
+            lengths = rng.integers(0, kv_len - 1, (B,))
+        lengths = jnp.asarray(lengths, jnp.int32)
         ss = 1.0 / np.sqrt(hd)
         got = decode_attention_int8(
             q, kc, ks, vc, vs, lengths, kv_len, ss, out_dtype=jnp.float32)

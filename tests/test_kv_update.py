@@ -49,6 +49,33 @@ def test_kv_cache_write_with_scales():
         np.asarray(scale_plane_view(got_s)), np.asarray(want_s))
 
 
+def test_kv_cache_write_scales_nonmultiple_of_1024():
+    """max_len=1536: ceil(S/128)=12 lane-rows round up to 16 sublanes so the
+    flat-kind RMW tile at sa=(pos//128//8)*8 stays in bounds for pos >= 1024
+    (a 12-sublane plane would clamp the slice base and corrupt rows)."""
+    from omniquant_tpu.kernels.kv_update import (
+        scale_plane_init, scale_plane_view)
+
+    B, H, S, D = 2, 2, 1536, 128
+    rng = np.random.default_rng(5)
+    plane = scale_plane_init(B, H, S)
+    assert plane.shape[2] % 8 == 0 and plane.shape[2] * 128 >= S
+    kc = jnp.asarray(rng.integers(-127, 127, (B, H, S, D)), jnp.int8)
+    ks = plane + jnp.asarray(
+        rng.standard_normal(plane.shape), jnp.float32)
+    kcn = jnp.asarray(rng.integers(-127, 127, (B, H, D)), jnp.int8)
+    ksn = jnp.asarray(rng.standard_normal((B, H)), jnp.float32)
+    for lengths in ([1100, 1535], [1023, 1024]):
+        lengths = jnp.asarray(lengths, jnp.int32)
+        b_idx = jnp.arange(B)
+        want_c = kc.at[b_idx, :, lengths, :].set(kcn)
+        want_s = scale_plane_view(ks).at[b_idx, :, lengths].set(ksn)
+        got_c, got_s = kv_cache_write((kc, ks), (kcn, ksn), lengths)
+        np.testing.assert_array_equal(np.asarray(got_c), np.asarray(want_c))
+        np.testing.assert_array_equal(
+            np.asarray(scale_plane_view(got_s)), np.asarray(want_s))
+
+
 def test_kv_cache_prefill_write_matches_set():
     B, H, S, D = 6, 2, 32, 128
     N, S_p = 3, 16

@@ -24,24 +24,40 @@ def tiny_llama():
     return cfg, params
 
 
-def greedy_reference(params, cfg, prompt, n):
+def greedy_reference(params, cfg, prompt, n, spec=None):
+    from omniquant_tpu.models.common import NO_ACT_QUANT
+
+    spec = spec if spec is not None else NO_ACT_QUANT
     toks = jnp.asarray(np.asarray(prompt, np.int32)[None])
     out = []
     for _ in range(n):
         logits = jllama.forward(
-            params, toks, cfg)  # f32 model
+            params, toks, cfg, spec)  # f32 model
         nxt = int(jnp.argmax(logits[0, -1]))
         out.append(nxt)
         toks = jnp.concatenate([toks, jnp.asarray([[nxt]])], axis=1)
     return out
 
 
-def test_engine_matches_full_forward(tiny_llama):
+def _specs():
+    from omniquant_tpu.models.common import ActQuantSpec
+
+    return [None, ActQuantSpec.from_bits(4)]
+
+
+@pytest.mark.parametrize("spec", _specs(), ids=["none", "w4a4"])
+def test_engine_matches_full_forward(tiny_llama, spec):
+    """Engine generation == eval-path forward, with and without the W4A4
+    act-quant spec (VERDICT r2 #4: the engine must apply the q/k/p/v
+    quantizers the eval path applies, not just spec.act at linears)."""
+    from omniquant_tpu.models.common import NO_ACT_QUANT
+
     cfg, params = tiny_llama
-    eng = LlamaEngine(params, cfg, max_batch=2, max_len=64, dtype=jnp.float32)
+    eng = LlamaEngine(params, cfg, max_batch=2, max_len=64, dtype=jnp.float32,
+                      spec=spec if spec is not None else NO_ACT_QUANT)
     prompt = [5, 17, 99, 3]
     got = eng.generate(prompt, max_new_tokens=8)
-    ref = greedy_reference(params, cfg, prompt, 8)
+    ref = greedy_reference(params, cfg, prompt, 8, spec)
     assert got == ref, (got, ref)
 
 
@@ -125,8 +141,30 @@ def test_slot_exhaustion_raises(tiny_llama):
         eng.add_request([4, 5])
 
 
-def test_opt_engine_matches_full_forward():
+def test_decode_past_max_len_raises(tiny_llama):
+    """Decoding a slot whose write position would reach max_len must raise:
+    the kv_update RMW kernel would clamp the slice base and silently
+    overwrite live history at max_len-8."""
+    cfg, params = tiny_llama
+    eng = LlamaEngine(params, cfg, max_batch=1, max_len=16,
+                      dtype=jnp.float32)
+    slot = eng.add_request([5, 17, 99, 3])
+    tok = eng._pending_next[slot]
+    for _ in range(16 - 4):  # last step writes position max_len-1
+        tok = eng.step({slot: tok})[slot]
+    with pytest.raises(RuntimeError, match="max_len"):
+        eng.step({slot: tok})
+    with pytest.raises(RuntimeError, match="max_len"):
+        eng.step_n({slot: tok}, 4)
+
+
+@pytest.mark.parametrize("spec", _specs(), ids=["none", "w4a4"])
+def test_opt_engine_matches_full_forward(spec):
+    """OPT's quant ordering is the tricky one: q pre-scaled then quantized,
+    q/k/v quantized over the FULL hidden dim pre-reshape (reference
+    int_opt_layer.py:96-118)."""
     from omniquant_tpu.models import opt as jopt
+    from omniquant_tpu.models.common import NO_ACT_QUANT
     from omniquant_tpu.serving.engine import OPTEngine
 
     cfg = jopt.OPTConfig(
@@ -134,14 +172,16 @@ def test_opt_engine_matches_full_forward():
         num_attention_heads=4, max_position_embeddings=128,
     )
     params = jopt.init_params(jax.random.PRNGKey(3), cfg)
-    eng = OPTEngine(params, cfg, max_batch=2, max_len=64, dtype=jnp.float32)
+    sp = spec if spec is not None else NO_ACT_QUANT
+    eng = OPTEngine(params, cfg, max_batch=2, max_len=64, dtype=jnp.float32,
+                    spec=sp)
     prompt = [5, 17, 99, 3]
     got = eng.generate(prompt, max_new_tokens=8)
 
     toks = jnp.asarray(np.asarray(prompt, np.int32)[None])
     ref = []
     for _ in range(8):
-        logits = jopt.forward(params, toks, cfg)
+        logits = jopt.forward(params, toks, cfg, sp)
         nxt = int(jnp.argmax(logits[0, -1]))
         ref.append(nxt)
         toks = jnp.concatenate([toks, jnp.asarray([[nxt]])], axis=1)
