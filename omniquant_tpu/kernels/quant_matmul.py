@@ -207,7 +207,11 @@ def quant_matmul(x: jax.Array, pw: PackedWeight, block_n: int = 2048,
     m = 1
     for d in orig_shape[:-1]:
         m *= d
-    n = pw.out_features
+    # geometry from the ARRAY shapes, not the dataclass metadata: inside
+    # shard_map the arrays are local shards while the pytree aux data still
+    # carries the global dims (parallel/tp_forward.py's _fix_local_pw does
+    # the same for its callers)
+    n = pw.qweight.shape[1]
     # fall back to the dense-dequant path when N doesn't tile onto lanes
     if n % 128 != 0:
         return quant_matmul_reference(x, pw).reshape(*orig_shape[:-1], n)
@@ -218,11 +222,200 @@ def quant_matmul(x: jax.Array, pw: PackedWeight, block_n: int = 2048,
     y = _qmm_call(
         x2, pw.qweight, scales_t, zeros_t,
         bits=pw.bits, group_size=pw.group_size,
-        out_features=pw.out_features, block_n=bn, tile_k=pw.tile_k,
+        out_features=n, block_n=bn, tile_k=pw.tile_k,
         interpret=interpret)
     if pw.bias is not None:
         y = y + pw.bias.astype(y.dtype)
-    return y.reshape(*orig_shape[:-1], pw.out_features)
+    return y.reshape(*orig_shape[:-1], n)
+
+
+# ---------------------------------------------------------------------------
+# integer-activation path (W4A4 / W6A6): int8 MXU matmuls on the codes
+# ---------------------------------------------------------------------------
+#
+# The weight-activation schemes' headline math (BASELINE.json metric names
+# W4A4): activations are per-token asymmetrically quantized (reference
+# quantizer.py per_token_dynamic_calibration) and weights per-group. Writing
+# x̂ = (xq - zp_m)·s_m and ŵ = (wq - wzp_g)·sc_g, the product factors as
+#
+#   y[m,n] = s_m · Σ_g [ dot(xc_g, wc_g)·sc_g[n] + xsum_g[m]·off2_g[n] ]
+#
+# with xc = xq - zp_m (int8, exact), wc = wq - 2^{b-1} (int8, exact),
+# off2 = (2^{b-1} - wzp)·sc (host-precomputed f32), xsum_g = Σ_{k∈g} xc.
+# Every dot runs on the int8 MXU (2x the bf16 MACs/cycle on v5e) with int32
+# accumulation — integer-exact, so the result is *more* faithful to the
+# quantized algebra than the bf16 fake-quant matmul. The epilogue applies
+# the per-token activation scale once. The reference has no integer compute
+# path at all (its W4A4 is fake-quant fp16 end-to-end).
+
+
+def quantize_act_int(x: jax.Array, cfg) -> tuple:
+    """Per-token activation quantization to CENTERED int8 codes + f32 scale,
+    on exactly the fake_quant_act grid (same _scale_zp, same clipping).
+    Requires cfg.n_bits <= 7 for the asymmetric range to fit int8
+    (|xq - zp| <= 2^n - 1). Returns (codes int8 (..., k), scale f32 (..., 1)).
+    XLA fuses this elementwise chain into the preceding norm/matmul epilogue
+    — the TPU analog of the north star's 'quant fused into the layernorm
+    epilogue'."""
+    from ..quant.quantizer import _scale_zp
+
+    assert cfg.n_bits <= 7, "asymmetric act codes need n_bits <= 7 for int8"
+    assert not cfg.group_size, "grouped act quant has no int path"
+    xmin = jnp.min(x, axis=-1, keepdims=True)
+    xmax = jnp.max(x, axis=-1, keepdims=True)
+    scale, rzp = _scale_zp(xmin, xmax, cfg)
+    xq = jnp.clip(jnp.round(x / scale) + rzp, 0, cfg.qmax)
+    codes = (xq - rzp).astype(jnp.int8)
+    return codes, scale.astype(jnp.float32)
+
+
+def _qmm_int_kernel(x_ref, xs_ref, qw_ref, sc_ref, zp_ref, out_ref, acc_ref,
+                    *, bits: int, bk: int, bn: int, gs_rows: int,
+                    out_dtype):
+    nk = pl.num_programs(2)
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    xc = x_ref[:]                                    # (bm, bk) int8
+    codes = _unpack_tile(qw_ref[:], bits, bk)        # (bk, bn) int32
+    wc = (codes - 2 ** (bits - 1)).astype(jnp.int8)  # centered, exact
+    n_g = bk // gs_rows
+    sc = sc_ref[0, :n_g, :]    # (n_g, bn) f32
+    off2 = zp_ref[0, :n_g, :]  # (2^{b-1} - wzp)·sc, f32
+    m = xc.shape[0]
+    xsum = jnp.sum(
+        xc.astype(jnp.int32).reshape(m, n_g, gs_rows), axis=-1
+    ).astype(jnp.float32)                            # (m, n_g)
+    acc = jnp.dot(xsum, off2, preferred_element_type=jnp.float32)
+    for g in range(n_g):
+        d = jnp.dot(xc[:, g * gs_rows : (g + 1) * gs_rows],
+                    wc[g * gs_rows : (g + 1) * gs_rows],
+                    preferred_element_type=jnp.int32)  # int8 MXU pass
+        acc += d.astype(jnp.float32) * sc[g][None, :]
+    acc_ref[:] += acc
+
+    @pl.when(k == nk - 1)
+    def _():
+        out_ref[:] = (acc_ref[:] * xs_ref[:]).astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("bits", "group_size", "out_features", "block_n",
+                     "tile_k", "out_dtype", "interpret"),
+)
+def _qmm_int_call(xc, xs, qweight, scales_t, off2_t, bits, group_size,
+                  out_features, block_n, tile_k, out_dtype, interpret):
+    m, k = xc.shape
+    bk = tile_k
+    k_pad = rows_per_words(bits, qweight.shape[0])
+    assert k_pad % bk == 0, (k_pad, bk)
+    if k_pad != k:
+        xc = jnp.pad(xc, ((0, 0), (0, k_pad - k)))
+    n = out_features
+    bn = block_n
+    gs_rows = group_size if group_size else bk
+    nk = k_pad // bk
+    # int8 x tiles need >= 32 sublanes (Mosaic int8 tiling)
+    bm = min(256, -(-m // 32) * 32)
+    m_pad = -(-m // bm) * bm
+    if m_pad != m:
+        xc = jnp.pad(xc, ((0, m_pad - m), (0, 0)))
+        xs = jnp.pad(xs, ((0, m_pad - m), (0, 0)))
+    grid = (m_pad // bm, n // bn, nk)
+
+    n_g = bk // gs_rows
+    ngp = -(-n_g // 8) * 8
+
+    def to_slabs(a):
+        if group_size:
+            g_needed = nk * n_g
+            if a.shape[0] < g_needed:
+                a = jnp.concatenate(
+                    [a, jnp.repeat(a[-1:], g_needed - a.shape[0], 0)])
+            a = a.reshape(nk, n_g, n)
+        else:
+            a = jnp.broadcast_to(a[None], (nk, 1, n))
+        return jnp.pad(a, ((0, 0), (0, ngp - n_g), (0, 0)))
+
+    scales_t = to_slabs(scales_t).astype(jnp.float32)
+    off2_t = to_slabs(off2_t).astype(jnp.float32)
+
+    kernel = functools.partial(
+        _qmm_int_kernel, bits=bits, bk=bk, bn=bn, gs_rows=gs_rows,
+        out_dtype=out_dtype)
+    sc_spec = pl.BlockSpec(
+        (1, ngp, bn), lambda im, i, j: (j, 0, i), memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda im, i, j: (im, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda im, i, j: (im, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((words_per_rows(bits, bk), bn),
+                         lambda im, i, j: (j, i), memory_space=pltpu.VMEM),
+            sc_spec,
+            sc_spec,
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda im, i, j: (im, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * k_pad * n,
+            bytes_accessed=(qweight.size * 4 + xc.size + m_pad * n * 2),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xc, xs, qweight, scales_t, off2_t)
+    return out[:m] if m_pad != m else out
+
+
+def quant_matmul_int(x: jax.Array, pw: PackedWeight, act_cfg,
+                     block_n: int = 2048,
+                     interpret: Optional[bool] = None) -> jax.Array:
+    """y = fake_quant_act(x) @ dequant(pw) (+ bias), evaluated EXACTLY on
+    the integer domain: per-token int8 activation codes against the packed
+    weight codes on the int8 MXU (see module comment). Falls back to
+    fake-quant + quant_matmul when the geometry doesn't fit the int path."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n = pw.qweight.shape[1]
+    eligible = (
+        act_cfg is not None and act_cfg.enabled and not act_cfg.group_size
+        and act_cfg.n_bits <= 7 and act_cfg.metric == "minmax"
+        and n % 128 == 0 and pw.bits <= 8)
+    if not eligible:
+        from ..quant.quantizer import fake_quant_act
+
+        return quant_matmul(fake_quant_act(x, act_cfg), pw,
+                            block_n=block_n, interpret=interpret)
+    orig_shape = x.shape
+    m = 1
+    for d in orig_shape[:-1]:
+        m *= d
+    xc, xs = quantize_act_int(x.reshape(m, orig_shape[-1]), act_cfg)
+    bn = next(b for b in (block_n, 1024, 512, 256, 128) if n % b == 0)
+    scales_t = pw.scales.T.astype(jnp.float32)                 # (G, out)
+    off2_t = ((2 ** (pw.bits - 1) - pw.zeros) * pw.scales).T.astype(
+        jnp.float32)
+    y = _qmm_int_call(
+        xc, xs, pw.qweight, scales_t, off2_t,
+        bits=pw.bits, group_size=pw.group_size,
+        out_features=n, block_n=bn, tile_k=pw.tile_k,
+        out_dtype=jnp.dtype(x.dtype), interpret=interpret)
+    if pw.bias is not None:
+        y = y + pw.bias.astype(y.dtype)
+    return y.reshape(*orig_shape[:-1], n)
 
 
 def quant_matmul_reference(x: jax.Array, pw: PackedWeight) -> jax.Array:

@@ -178,3 +178,95 @@ def test_engine_attn_kernel_matches_xla_path():
     got_k = eng_k.generate(prompt, max_new_tokens=8)
     got_x = eng_x.generate(prompt, max_new_tokens=8)
     assert got_k == got_x, (got_k, got_x)
+
+
+# ---------------------------------------------------------------------------
+# integer-activation compute path (W4A4 / W6A6)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("wbits,abits,gs", [
+    (4, 4, 128), (6, 6, 128), (4, 4, None), (3, 4, 128), (2, 6, 64),
+])
+def test_quant_matmul_int_matches_fake_quant_oracle(wbits, abits, gs):
+    """The int8-MXU path must equal fake_quant_act(x) @ dequant(w) computed
+    in f32 — the same quantized algebra, integer-exact."""
+    from omniquant_tpu.kernels.quant_matmul import quant_matmul_int
+    from omniquant_tpu.quant.packing import dequantize_packed
+    from omniquant_tpu.quant.quantizer import fake_quant_act
+
+    pw = make_packed(wbits, gs, out_f=256, in_f=512, seed=wbits * 10 + abits)
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((8, 512)).astype(np.float32))
+    acfg = QuantConfig(n_bits=abits, symmetric=False)
+    got = quant_matmul_int(x, pw, acfg, interpret=True)
+
+    xdq = fake_quant_act(x, acfg)
+    w = dequantize_packed(pw, dtype=jnp.float32)
+    want = jnp.einsum("mk,kn->mn", xdq, w)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-3)
+
+
+def test_quant_matmul_int_bias_3d_and_fallbacks():
+    from omniquant_tpu.kernels.quant_matmul import (
+        quant_matmul, quant_matmul_int)
+    from omniquant_tpu.quant.packing import dequantize_packed
+    from omniquant_tpu.quant.quantizer import fake_quant_act
+
+    pw = make_packed(4, 64, out_f=128, in_f=256, bias=True, seed=21)
+    rng = np.random.default_rng(22)
+    x = jnp.asarray(rng.standard_normal((2, 3, 256)).astype(np.float32))
+    acfg = QuantConfig(n_bits=4, symmetric=False)
+    got = quant_matmul_int(x, pw, acfg, interpret=True)
+    want = jnp.einsum(
+        "bmk,kn->bmn", fake_quant_act(x, acfg),
+        dequantize_packed(pw, dtype=jnp.float32)) + pw.bias
+    assert got.shape == (2, 3, 128)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-3)
+
+    # a8 asym exceeds the centered-int8 range: must fall back to fake-quant
+    a8 = QuantConfig(n_bits=8, symmetric=False)
+    fb = quant_matmul_int(x, pw, a8, interpret=True)
+    ref = quant_matmul(fake_quant_act(x, a8), pw, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(fb), np.asarray(ref), rtol=1e-5, atol=1e-3)
+
+
+def test_engine_w4a4_int_path_matches_eval(tiny_packed_llama=None):
+    """Packed W4A4 serving through the int path generates the same tokens
+    as the fake-quant eval forward over the dequantized weights."""
+    from omniquant_tpu.models import LLAMA
+    from omniquant_tpu.models import llama as jllama
+    from omniquant_tpu.models.common import ActQuantSpec
+    from omniquant_tpu.quant import QuantConfig as QC
+    from omniquant_tpu.serving.engine import LlamaEngine
+    from omniquant_tpu.serving.export import pack_model
+
+    cfg = jllama.LlamaConfig(
+        vocab_size=128, hidden_size=256, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=64,
+    )
+    params = jllama.init_params(jax.random.PRNGKey(0), cfg)
+    wcfg = QC(n_bits=4, group_size=32)
+    fq = dict(params)
+    fq["layers"] = [
+        LLAMA.effective_block_weights(b, wcfg, None, None, cfg)
+        for b in params["layers"]
+    ]
+    packed = pack_model(LLAMA, fq, wcfg, tile_k=64)
+    spec = ActQuantSpec.from_bits(4)
+    eng = LlamaEngine(packed, cfg, max_batch=2, max_len=64,
+                      dtype=jnp.float32, spec=spec)
+    prompt = [5, 17, 99, 3]
+    got = eng.generate(prompt, max_new_tokens=8)
+
+    toks = jnp.asarray(np.asarray(prompt, np.int32)[None])
+    ref = []
+    for _ in range(8):
+        logits = jllama.forward(fq, toks, cfg, spec)
+        nxt = int(jnp.argmax(logits[0, -1]))
+        ref.append(nxt)
+        toks = jnp.concatenate([toks, jnp.asarray([[nxt]])], axis=1)
+    assert got == ref, (got, ref)

@@ -1,0 +1,149 @@
+"""Tensor-parallel serving engine: token-for-token equality with the
+single-chip engine (VERDICT r2 #1 — the 70B-on-v5e-16 north-star config
+needs the continuous-batching engine to run tensor-sharded)."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from omniquant_tpu.models import FALCON, LLAMA, OPT
+from omniquant_tpu.models import falcon as jfalcon
+from omniquant_tpu.models import llama as jllama
+from omniquant_tpu.models import opt as jopt
+from omniquant_tpu.parallel import make_mesh
+from omniquant_tpu.quant import QuantConfig
+from omniquant_tpu.serving.engine import FalconEngine, LlamaEngine, OPTEngine
+from omniquant_tpu.serving.export import pack_model
+from omniquant_tpu.serving.tp_engine import (
+    TPFalconEngine, TPLlamaEngine, TPOPTEngine)
+
+PROMPT = [5, 17, 99, 3, 42]
+
+
+def _pack(family, params, cfg, bits=4, gs=32):
+    wcfg = QuantConfig(n_bits=bits, group_size=gs)
+    fq = dict(params)
+    fq["layers"] = [
+        family.effective_block_weights(b, wcfg, None, None, cfg)
+        for b in params["layers"]
+    ]
+    return pack_model(family, fq, wcfg, tile_k=64)
+
+
+@pytest.fixture(scope="module")
+def llama_setup():
+    cfg = jllama.LlamaConfig(
+        vocab_size=128, hidden_size=256, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=64,
+    )
+    params = jllama.init_params(jax.random.PRNGKey(0), cfg)
+    return cfg, params, _pack(LLAMA, params, cfg)
+
+
+@pytest.mark.parametrize("tp", [2, 4])
+def test_tp_llama_engine_matches_single_packed(llama_setup, tp):
+    cfg, _, packed = llama_setup
+    base = LlamaEngine(packed, cfg, max_batch=2, max_len=64,
+                       dtype=jnp.float32)
+    want = base.generate(PROMPT, max_new_tokens=8)
+    mesh = make_mesh(dp=1, tp=tp)
+    eng = TPLlamaEngine(packed, cfg, mesh, max_batch=2, max_len=64,
+                        dtype=jnp.float32)
+    got = eng.generate(PROMPT, max_new_tokens=8)
+    assert got == want, (got, want)
+
+
+def test_tp_llama_engine_dense_and_w4a4(llama_setup):
+    """Dense fake-quant weights + full W4A4 act-quant spec: the TP engine's
+    pmin/pmax per-token act quant must reproduce the single-chip engine's
+    global per-token ranges exactly."""
+    from omniquant_tpu.models.common import ActQuantSpec
+
+    cfg, params, _ = llama_setup
+    spec = ActQuantSpec.from_bits(4)
+    base = LlamaEngine(params, cfg, max_batch=2, max_len=64,
+                       dtype=jnp.float32, spec=spec)
+    want = base.generate(PROMPT, max_new_tokens=8)
+    mesh = make_mesh(dp=1, tp=2)
+    eng = TPLlamaEngine(params, cfg, mesh, max_batch=2, max_len=64,
+                        dtype=jnp.float32, spec=spec)
+    got = eng.generate(PROMPT, max_new_tokens=8)
+    assert got == want, (got, want)
+
+
+def test_tp_llama_engine_int8_kv(llama_setup):
+    """Head-sharded int8 KV cache: per-shard Pallas RMW writes + fused
+    flash-decode on local heads."""
+    cfg, _, packed = llama_setup
+    base = LlamaEngine(packed, cfg, max_batch=2, max_len=64,
+                       dtype=jnp.float32, kv_dtype="int8")
+    want = base.generate(PROMPT, max_new_tokens=8)
+    mesh = make_mesh(dp=1, tp=2)
+    eng = TPLlamaEngine(packed, cfg, mesh, max_batch=2, max_len=64,
+                        dtype=jnp.float32, kv_dtype="int8")
+    got = eng.generate(PROMPT, max_new_tokens=8)
+    assert got == want, (got, want)
+
+
+def test_tp_llama_continuous_batching(llama_setup):
+    """Batched prefill + step_n with slots joining/leaving, TP vs single."""
+    cfg, _, packed = llama_setup
+    reqs = [[5, 17, 99], [3, 42, 7, 11, 19], [1, 2]]
+
+    def run(eng):
+        slots = eng.add_requests(reqs)
+        toks = {s: eng._pending_next[s] for s in slots}
+        outs = {s: [toks[s]] for s in slots}
+        res = eng.step_n(toks, 4)
+        for s in slots:
+            outs[s].extend(res[s])
+        eng.release(slots[1])
+        live = {s: outs[s][-1] for s in slots if s != slots[1]}
+        res = eng.step_n(live, 2)
+        for s in live:
+            outs[s].extend(res[s])
+        return outs
+
+    base = run(LlamaEngine(packed, cfg, max_batch=4, max_len=64,
+                           dtype=jnp.float32))
+    mesh = make_mesh(dp=1, tp=2)
+    got = run(TPLlamaEngine(packed, cfg, mesh, max_batch=4, max_len=64,
+                            dtype=jnp.float32))
+    assert got == base, (got, base)
+
+
+def test_tp_opt_engine_matches_single_packed():
+    cfg = jopt.OPTConfig(
+        vocab_size=128, hidden_size=256, ffn_dim=256, num_hidden_layers=2,
+        num_attention_heads=4, max_position_embeddings=64,
+    )
+    params = jopt.init_params(jax.random.PRNGKey(3), cfg)
+    packed = _pack(OPT, params, cfg)
+    base = OPTEngine(packed, cfg, max_batch=2, max_len=64, dtype=jnp.float32)
+    want = base.generate(PROMPT, max_new_tokens=8)
+    mesh = make_mesh(dp=1, tp=2)
+    eng = TPOPTEngine(packed, cfg, mesh, max_batch=2, max_len=64,
+                      dtype=jnp.float32)
+    got = eng.generate(PROMPT, max_new_tokens=8)
+    assert got == want, (got, want)
+
+
+def test_tp_falcon_engine_matches_single_packed():
+    """falcon-7b-style MQA + rotary + parallel attention: the restructured
+    fused qkv gives each shard its own replica of the shared k/v head."""
+    cfg = jfalcon.FalconConfig(
+        vocab_size=128, hidden_size=256, num_hidden_layers=2,
+        num_attention_heads=4, multi_query=True, parallel_attn=True,
+        alibi=False, bias=False,
+    )
+    params = jfalcon.init_params(jax.random.PRNGKey(5), cfg)
+    packed = _pack(FALCON, params, cfg)
+    base = FalconEngine(packed, cfg, max_batch=2, max_len=64,
+                        dtype=jnp.float32)
+    want = base.generate(PROMPT, max_new_tokens=8)
+    mesh = make_mesh(dp=1, tp=2)
+    eng = TPFalconEngine(packed, cfg, mesh, max_batch=2, max_len=64,
+                         dtype=jnp.float32)
+    got = eng.generate(PROMPT, max_new_tokens=8)
+    assert got == want, (got, want)
