@@ -13,14 +13,29 @@ A100-80G (BASELINE.md "Inference throughput"; effectively single-stream,
 so vs_baseline compares aggregate against single-stream).
 
 Extras (best-effort; omitted if they fail):
-  w3g128 / w2g128   same decode setting at 3/2-bit packed weights
+  w3g128 / w2g128   same decode setting at 3/2-bit packed weights (each
+                    with its own pct_roofline: <scheme>_pct_roofline)
+  w4a4 / w6a6       weight-activation schemes: per-token int8 activation
+                    codes against the packed codes on the int8 MXU
+                    (kernels/quant_matmul.quant_matmul_int) — the headline
+                    metric's "& W4A4" config (BASELINE.json)
   kv2048_int8       batch 8, 2048-token window, int8 KV + fused attention
-  prefill_tok_s     batched prefill throughput (32 x 128-token prompts)
+  kv2048_int8_b32   same window at batch 32 (aggregate long-context)
+  prefill_tok_s     batched prefill throughput (32 x 128-token prompts,
+                    dense-score path below the flash gate)
+  prefill_long_*    batch 8 x 1024-token prompts — the blockwise flash
+                    kernel path (engine flash_min_len=256) — with MFU vs
+                    the chip's 197 TFLOP/s bf16 matmul peak
   pct_roofline      measured step time vs. the HBM-bound lower bound at
                     the chip's MEASURED peak bandwidth (437 GB/s on this
                     tunneled v5e; elementwise r+w microbenchmark), counting
                     packed weights + scales, embedding head, and KV window
                     reads + writes
+
+Tensor-parallel serving (serving/tp_engine.py) exists and is asserted
+token-for-token equal to this engine on a CPU mesh (tests/test_tp_engine.py,
+dryrun_multichip); it cannot be benched here — the harness exposes ONE real
+chip, and a virtual-device mesh on one chip shares the same HBM/MXU.
 """
 import json
 import sys
@@ -31,6 +46,7 @@ import numpy as np
 
 BASELINE_TOK_S = 134.2
 MEASURED_PEAK_GBPS = 437.0  # elementwise r+w microbenchmark, this chip
+PEAK_BF16_TFLOPS = 197.0    # v5e MXU bf16 peak
 BATCH = 32
 DECODE_STEPS = 24
 PREFILL_LEN = 128
@@ -53,7 +69,7 @@ def build_7b_packed_params(cfg, dtype, bits: int = 4):
     def pw(out_f, in_f, seed):
         w = jnp.asarray(
             rng.standard_normal((out_f, in_f)).astype(np.float32) * 0.02)
-        return pack_weight(w, wcfg)
+        return pack_weight(w, wcfg, layout="auto")
 
     shared = {
         "q_proj": pw(H, H, 1),
@@ -115,17 +131,19 @@ def weight_bytes(params):
 
 
 def decode_tok_s(params, cfg, batch, max_len, kv_dtype="native",
-                 force_len=None, label=""):
+                 force_len=None, label="", spec=None, prefill_len=None):
     """Steady-state decode throughput via step_n(8)."""
     import jax.numpy as jnp
 
+    from omniquant_tpu.models.common import NO_ACT_QUANT
     from omniquant_tpu.serving.engine import LlamaEngine
 
     eng = LlamaEngine(params, cfg, max_batch=batch, max_len=max_len,
-                      dtype=jnp.bfloat16, kv_dtype=kv_dtype)
+                      dtype=jnp.bfloat16, kv_dtype=kv_dtype,
+                      spec=spec if spec is not None else NO_ACT_QUANT)
     rng = np.random.default_rng(1)
     t0 = time.time()
-    prompts = [list(rng.integers(0, 32000, PREFILL_LEN))
+    prompts = [list(rng.integers(0, 32000, prefill_len or PREFILL_LEN))
                for _ in range(batch)]
     slots = eng.add_requests(prompts)
     last = {s: eng._pending_next[s] for s in slots}
@@ -162,7 +180,7 @@ def decode_tok_s(params, cfg, batch, max_len, kv_dtype="native",
         eng.release(s)
     t0 = time.time()
     slots = eng.add_requests(prompts)
-    prefill_tok_s = batch * PREFILL_LEN / (time.time() - t0)
+    prefill_tok_s = batch * len(prompts[0]) / (time.time() - t0)
     return tok_s, step_ms, prefill_tok_s, eng
 
 
@@ -189,40 +207,95 @@ def main():
     kv_bucket = 256
     L, NKV, HD = (cfg.num_hidden_layers, cfg.num_key_value_heads,
                   cfg.head_dim)
-    kv_bytes = L * 2 * BATCH * NKV * kv_bucket * HD * 2
-    step_bytes = w_bytes + kv_bytes
-    ideal_ms = step_bytes / (MEASURED_PEAK_GBPS * 1e9) * 1e3
+
+    def ideal_step_ms(weight_bytes_, batch, bucket, kv_itemsize=2):
+        kv = L * 2 * batch * NKV * bucket * HD * kv_itemsize
+        return (weight_bytes_ + kv) / (MEASURED_PEAK_GBPS * 1e9) * 1e3, (
+            weight_bytes_ + kv)
+
+    ideal_ms, step_bytes = ideal_step_ms(w_bytes, BATCH, kv_bucket)
     extras["pct_roofline"] = round(100 * ideal_ms / step_ms, 1)
     extras["roofline_basis"] = (
         f"{step_bytes / 1e9:.2f} GB/step @ {MEASURED_PEAK_GBPS:.0f} GB/s "
         f"measured peak")
+
     free_buffers(eng.cache, eng.params, params)
     del eng, params
 
-    # --- extra schemes (best-effort) ---
-    for bits, key in ((3, "w3g128_tok_s"), (2, "w2g128_tok_s")):
+    # --- extra weight-only schemes, each with its own roofline ---
+    for bits, key in ((3, "w3g128"), (2, "w2g128")):
         try:
             p = build_7b_packed_params(cfg, jnp.bfloat16, bits=bits)
-            ts, _, _, e = decode_tok_s(
+            wb = weight_bytes(p)
+            ts, sm, _, e = decode_tok_s(
                 p, cfg, BATCH, MAX_LEN, label=f"w{bits}g128")
-            extras[key] = round(ts, 1)
+            extras[f"{key}_tok_s"] = round(ts, 1)
+            im, _ = ideal_step_ms(wb, BATCH, kv_bucket)
+            extras[f"{key}_pct_roofline"] = round(100 * im / sm, 1)
             free_buffers(e.cache, e.params, p)
             del p, e
         except Exception as exc:  # degrade to headline-only
             print(f"# w{bits} failed: {exc}", file=sys.stderr)
 
+    # --- weight-activation schemes: the int8-MXU integer path ---
+    from omniquant_tpu.models.common import ActQuantSpec
+
+    for wb_, ab_, key in ((4, 4, "w4a4"), (6, 6, "w6a6")):
+        try:
+            p = build_7b_packed_params(cfg, jnp.bfloat16, bits=wb_)
+            ts, sm, _, e = decode_tok_s(
+                p, cfg, BATCH, MAX_LEN, label=f"w{wb_}a{ab_}",
+                spec=ActQuantSpec.from_bits(ab_))
+            extras[f"{key}_tok_s"] = round(ts, 1)
+            free_buffers(e.cache, e.params, p)
+            del p, e
+        except Exception as exc:
+            print(f"# {key} failed: {exc}", file=sys.stderr)
+
     # --- long-window decode: kv 2048, int8 KV + fused attention ---
-    try:
-        cfg2 = make_cfg(2048)
-        p = build_7b_packed_params(cfg2, jnp.bfloat16, bits=4)
-        ts, sm, _, e = decode_tok_s(
-            p, cfg2, 8, 2048, kv_dtype="int8", force_len=2000,
-            label="kv2048-int8")
-        extras["kv2048_int8_tok_s"] = round(ts, 1)
-        free_buffers(e.cache, e.params, p)
-        del p, e
-    except Exception as exc:
-        print(f"# kv2048 failed: {exc}", file=sys.stderr)
+    for batch, key in ((8, "kv2048_int8_tok_s"), (32, "kv2048_int8_b32_tok_s")):
+        try:
+            cfg2 = make_cfg(2048)
+            p = build_7b_packed_params(cfg2, jnp.bfloat16, bits=4)
+            ts, sm, _, e = decode_tok_s(
+                p, cfg2, batch, 2048, kv_dtype="int8", force_len=2000,
+                label=f"kv2048-int8-b{batch}")
+            extras[key] = round(ts, 1)
+            if batch == 8:
+                wb = weight_bytes(p)
+                im, _ = ideal_step_ms(wb, batch, 2048, kv_itemsize=1)
+                extras["kv2048_int8_pct_roofline"] = round(100 * im / sm, 1)
+                # long-prompt prefill through the SAME engine (max_len 2048):
+                # 1024-token prompts ride the blockwise flash kernel
+                # (flash_min_len=256); MFU vs the bf16 matmul peak
+                for s in range(e.max_batch):
+                    e.release(s)
+                long_len = 1024
+                rng2 = np.random.default_rng(5)
+                lp = [list(rng2.integers(0, 32000, long_len))
+                      for _ in range(batch)]
+                slots = e.add_requests(lp)  # compile
+                for s in slots:
+                    e.release(s)
+                t0 = time.time()
+                e.add_requests(lp)
+                dt = time.time() - t0
+                lin_flops = 2 * 6.74e9 * batch * long_len
+                attn_flops = (2 * 2 * 32 * (long_len ** 2) // 2
+                              * 128 * batch * L)
+                mfu = (lin_flops + attn_flops) / dt / (
+                    PEAK_BF16_TFLOPS * 1e12)
+                extras["prefill_long_tok_s"] = round(
+                    batch * long_len / dt, 1)
+                extras["prefill_mfu_pct"] = round(100 * mfu, 1)
+                print(f"# [prefill-long] {batch}x{long_len} in "
+                      f"{dt*1e3:.0f} ms "
+                      f"({extras['prefill_long_tok_s']} tok/s, MFU "
+                      f"{extras['prefill_mfu_pct']}%)", file=sys.stderr)
+            free_buffers(e.cache, e.params, p)
+            del p, e
+        except Exception as exc:
+            print(f"# kv2048 b{batch} failed: {exc}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "llama7b_w4a16g128_decode_tok_per_sec_per_chip",

@@ -94,6 +94,9 @@ def calibrate(
     act_shifts: Optional[list] = None,
     logger=None,
     progress_cb: Optional[Callable] = None,
+    sp_mesh=None,  # jax Mesh with axis `sp_axis`: sequence-parallel mode
+    sp_axis: str = "sp",
+    sp_attn_impl: Optional[str] = None,  # capture-pass ring impl; None=auto
 ) -> tuple:
     """Run block-wise calibration in place over `params['layers']`.
 
@@ -201,6 +204,130 @@ def calibrate(
         updates, opt_state = opt.update(grads, opt_state, trainable)
         trainable = optax.apply_updates(trainable, updates)
         return trainable, opt_state, loss, gnorm
+
+    # ---- sequence-parallel (context-parallel) mode -----------------------
+    # seqlen > 2048 calibration: shard the SEQUENCE axis of every activation
+    # buffer over sp_mesh and run each per-block forward under shard_map
+    # with ring attention (parallel/ring_attention.py — k/v blocks rotate
+    # via ppermute, flash kernel per block). No chip ever holds more than
+    # S/n of a sample. Training steps use the differentiable jnp ring path
+    # (the flash kernel has no VJP); the fp-capture and quant-propagation
+    # passes use flash-in-ring. Net-new vs the reference (seqlen pinned to
+    # 2048 at main.py:261; SURVEY.md §5 "long-context: absent").
+    if sp_mesh is not None:
+        from jax import shard_map
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..models.common import maybe_quant
+        from ..parallel.ring_attention import ring_attention_local
+
+        assert family.name == "llama", "sequence-parallel calibration: llama"
+        n_sp = sp_mesh.shape[sp_axis]
+        assert seqlen % n_sp == 0, (seqlen, n_sp)
+        s_local = seqlen // n_sp
+        assert spec.p is None or not spec.p.enabled, (
+            "softmax-probs quantizers are not supported under sp")
+        if sp_attn_impl is None:
+            # flash-in-ring on real hardware; the jnp ring on CPU (the flash
+            # kernel's interpret mode is far too slow for capture passes)
+            sp_attn_impl = ("flash" if jax.default_backend() == "tpu"
+                            else "jnp")
+        xs_spec = P(None, sp_axis, None)
+
+        def _repl(tree):
+            return jax.tree.map(
+                lambda a: P(), tree, is_leaf=lambda a: a is None)
+
+        def _ring_attn(impl):
+            def attn(q, k, v, spec_):
+                # the eval path's q/k/v per-token quant (over head_dim) is
+                # row-local, so shard-local quantization is exact
+                q = maybe_quant(q, spec_.q)
+                k = maybe_quant(k, spec_.k)
+                v = maybe_quant(v, spec_.v)
+                return ring_attention_local(
+                    q, k, v, axis=sp_axis, n=n_sp, causal=True, impl=impl)
+            return attn
+
+        def _local_pos():
+            return (jax.lax.axis_index(sp_axis) * s_local
+                    + jnp.arange(s_local))
+
+        def _sp_block_all(spec_arg, impl):
+            def inner(layer, xs):
+                pos = _local_pos()
+                def body(carry, x):
+                    y, _ = family.block_forward(
+                        layer, x[None], model_cfg, None, pos, spec_arg,
+                        attn_impl=_ring_attn(impl))
+                    return carry, y[0]
+                _, ys = jax.lax.scan(body, None, xs)
+                return ys
+
+            @partial(jax.jit, donate_argnums=(1,))
+            def fn(layer, xs):
+                return shard_map(
+                    inner, mesh=sp_mesh, in_specs=(_repl(layer), xs_spec),
+                    out_specs=xs_spec, check_vma=False)(layer, xs)
+
+            return fn
+
+        from ..models.common import NO_ACT_QUANT
+
+        fp_block_all = _sp_block_all(NO_ACT_QUANT, sp_attn_impl)
+        quant_block_all = _sp_block_all(spec, sp_attn_impl)
+
+        def _sp_loss_inner(trainable, layer, qin_l, fp_l, fp2_l):
+            eff = family.effective_block_weights(
+                layer, wcfg,
+                _tree_none_if_empty(trainable.get("lwc")),
+                _tree_none_if_empty(trainable.get("let")),
+                model_cfg,
+            )
+            out, _ = family.block_forward(
+                eff, qin_l, model_cfg, None, _local_pos(), spec,
+                attn_impl=_ring_attn("jnp"))
+            loss = jax.lax.pmean(jnp.mean(
+                (out.astype(jnp.float32) - fp_l.astype(jnp.float32)) ** 2
+            ), sp_axis)
+            if fp2_l is not None:
+                loss = loss + jax.lax.pmean(jnp.mean(
+                    (out.astype(jnp.float32) - fp2_l.astype(jnp.float32))
+                    ** 2), sp_axis)
+            return loss
+
+        def _sp_loss_fn(trainable, layer, qin, fp_out, fp_out_2):
+            if fp_out_2 is None:
+                def inner2(t, l, q, f):
+                    return _sp_loss_inner(t, l, q, f, None)
+                return shard_map(
+                    inner2, mesh=sp_mesh,
+                    in_specs=(_repl(trainable), _repl(layer), xs_spec,
+                              xs_spec),
+                    out_specs=P(), check_vma=False)(
+                        trainable, layer, qin, fp_out)
+            return shard_map(
+                _sp_loss_inner, mesh=sp_mesh,
+                in_specs=(_repl(trainable), _repl(layer), xs_spec, xs_spec,
+                          xs_spec),
+                out_specs=P(), check_vma=False)(
+                    trainable, layer, qin, fp_out, fp_out_2)
+
+        @jax.jit
+        def train_step(trainable, opt_state, layer, qin, fp_out, fp_out_2):
+            trainable = _truncate_stored_let(trainable)
+            loss, grads = jax.value_and_grad(_sp_loss_fn)(
+                trainable, layer, qin, fp_out, fp_out_2)
+            gnorm = optax.global_norm(grads)
+            updates, opt_state = opt.update(grads, opt_state, trainable)
+            trainable = optax.apply_updates(trainable, updates)
+            return trainable, opt_state, loss, gnorm
+
+        sh = NamedSharding(sp_mesh, xs_spec)
+        quant_inps = jax.device_put(quant_inps, sh)
+        fp_inps = jax.device_put(fp_inps, sh)
+        if fp_inps_2 is not None:
+            fp_inps_2 = jax.device_put(fp_inps_2, sh)
 
     from ..quant.quantizer import fake_quant_weight, weight_scale_zp
 

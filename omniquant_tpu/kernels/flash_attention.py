@@ -39,9 +39,14 @@ _NEG_INF = -1e30
 _LANES = 128
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, slopes_ref, out_ref, m_ref, l_ref,
-                  acc_ref, *, sm_scale: float, block_q: int, block_k: int,
-                  kv_len: int, causal: bool, has_alibi: bool, out_dtype):
+def _flash_kernel(q_ref, k_ref, v_ref, slopes_ref, *rest,
+                  sm_scale: float, block_q: int, block_k: int,
+                  kv_len: int, causal: bool, has_alibi: bool, out_dtype,
+                  with_stats: bool = False):
+    if with_stats:
+        out_ref, mo_ref, lo_ref, m_ref, l_ref, acc_ref = rest
+    else:
+        out_ref, m_ref, l_ref, acc_ref = rest
     iq = pl.program_id(2)
     jk = pl.program_id(3)
     nk = pl.num_programs(3)
@@ -95,15 +100,20 @@ def _flash_kernel(q_ref, k_ref, v_ref, slopes_ref, out_ref, m_ref, l_ref,
         # (q padding) against 0/0
         l = jnp.maximum(l_ref[:], 1e-30)
         out_ref[0, 0] = (acc_ref[:] / l).astype(out_dtype)
+        if with_stats:
+            # softmax stats for cross-block combining (ring attention):
+            # every lane of the (block_q, 8) slabs carries the row value
+            mo_ref[0, 0] = m_ref[:, :8]
+            lo_ref[0, 0] = l_ref[:, :8]
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("sm_scale", "causal", "kv_len", "block_q", "block_k",
-                     "n_rep", "has_alibi", "interpret"),
+                     "n_rep", "has_alibi", "with_stats", "interpret"),
 )
 def _flash_call(q, k, v, slopes, sm_scale, causal, kv_len, block_q, block_k,
-                n_rep, has_alibi, interpret):
+                n_rep, has_alibi, with_stats, interpret):
     B, H, Sq, D = q.shape
     Skv = k.shape[2]
     grid = (B, H, Sq // block_q, Skv // block_k)
@@ -118,13 +128,24 @@ def _flash_call(q, k, v, slopes, sm_scale, causal, kv_len, block_q, block_k,
                                memory_space=pltpu.SMEM)
     kernel = functools.partial(
         _flash_kernel, sm_scale=sm_scale, block_q=block_q, block_k=block_k,
-        kv_len=kv_len, causal=causal, has_alibi=has_alibi, out_dtype=q.dtype)
+        kv_len=kv_len, causal=causal, has_alibi=has_alibi,
+        out_dtype=q.dtype, with_stats=with_stats)
+    out_shape = [jax.ShapeDtypeStruct(q.shape, q.dtype)]
+    out_specs = [q_spec]
+    if with_stats:
+        # per-row softmax stats for cross-block combining (ring attention);
+        # 8-lane slabs keep the HBM footprint negligible
+        stat_spec = pl.BlockSpec((1, 1, block_q, 8),
+                                 lambda b, h, i, j: (b, h, i, 0),
+                                 memory_space=pltpu.VMEM)
+        out_shape += [jax.ShapeDtypeStruct((B, H, Sq, 8), jnp.float32)] * 2
+        out_specs += [stat_spec, stat_spec]
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[q_spec, kv_spec, kv_spec, slopes_spec],
-        out_specs=q_spec,
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((block_q, _LANES), jnp.float32),  # running max
             pltpu.VMEM((block_q, _LANES), jnp.float32),  # running sum
@@ -148,12 +169,18 @@ def flash_attention(q, k, v, sm_scale: Optional[float] = None,
                     causal: bool = True, block_q: int = 256,
                     block_k: int = 256,
                     alibi_slopes: Optional[jax.Array] = None,
-                    interpret: Optional[bool] = None) -> jax.Array:
+                    return_stats: bool = False,
+                    interpret: Optional[bool] = None):
     """Blockwise attention. q: (B, H, Sq, D); k, v: (B, Hkv, Skv, D) with
     H % Hkv == 0 (GQA/MQA). Returns (B, H, Sq, D) in q.dtype.
 
     `alibi_slopes` (H,) adds slope[h] * key_position * sm_scale to the
     scores (falcon's ALiBi, absolute-position form).
+
+    `return_stats=True` additionally returns the per-row softmax stats
+    (m, l) as (B, H, Sq) f32 — out is normalized by its own l; a caller
+    combining partial attentions over key blocks (ring attention) rescales
+    with the standard online-softmax merge.
 
     Sequences are zero-padded to block multiples and head_dim to the
     128-lane width internally; padded key positions are masked, padded
@@ -180,11 +207,14 @@ def flash_attention(q, k, v, sm_scale: Optional[float] = None,
     has_alibi = alibi_slopes is not None
     slopes = (jnp.asarray(alibi_slopes, jnp.float32) if has_alibi
               else jnp.zeros((H,), jnp.float32))
-    out = _flash_call(qp, kp, vp, slopes, sm_scale=float(sm_scale),
+    res = _flash_call(qp, kp, vp, slopes, sm_scale=float(sm_scale),
                       causal=causal, kv_len=Skv, block_q=block_q,
                       block_k=block_k, n_rep=H // Hkv, has_alibi=has_alibi,
-                      interpret=interpret)
-    return out[:, :, :Sq, :D]
+                      with_stats=return_stats, interpret=interpret)
+    if return_stats:
+        out, m, l = res
+        return (out[:, :, :Sq, :D], m[:, :, :Sq, 0], l[:, :, :Sq, 0])
+    return res[0][:, :, :Sq, :D]
 
 
 def flash_attention_reference(q, k, v, sm_scale=None, causal=True,

@@ -43,11 +43,23 @@ def _unpack_planar_tile(u, bits: int):
     return jnp.concatenate(planes, axis=0)
 
 
-def _unpack_tile(qw, bits: int, bk: int):
+def _unpack_tile(qw, bits: int, bk: int, layout: str = "planar"):
     """Packed tile words -> (bk, bn) int32 codes. 3-bit recombines its
     2-bit and 1-bit planes (code = low | hi << 2); 6-bit its 4-bit and
     2-bit planes (code = low | hi << 4)."""
     u = pltpu.bitcast(qw, jnp.uint32)
+    if layout == "pairs":
+        vpw = vals_per_word(bits)
+        mask = jnp.uint32(2**bits - 1)
+        parts = []
+        for j in range(vpw // 2):
+            lo = ((u >> jnp.uint32(bits * j)) & mask).astype(jnp.int32)
+            hi = ((u >> jnp.uint32(bits * j + 16)) & mask).astype(jnp.int32)
+            # natural rows j*2W + 2w + h: interleave lo/hi along sublanes
+            w_rows = lo.shape[0]
+            parts.append(jnp.stack([lo, hi], axis=1).reshape(
+                2 * w_rows, lo.shape[1]))
+        return jnp.concatenate(parts, axis=0)
     if bits == 3:
         low = _unpack_planar_tile(u[: bk // 16], 2)
         hi = _unpack_planar_tile(u[bk // 16 :], 1)
@@ -59,9 +71,45 @@ def _unpack_tile(qw, bits: int, bk: int):
     return _unpack_planar_tile(u, bits)
 
 
+def _unpack_pairs_w1(qw, bits: int):
+    """PAIRS-layout tile words -> (bk, bn) bf16 w' = 1 + c/2^bits, ONE
+    shift+and+or per code PAIR: the two 16-bit halves of each 32-bit lane
+    hold codes 16 bits apart; masking them into the mantissa of a bf16
+    pair (0x3F80 | c << (7-b), both halves at once) and bitcasting 32->16
+    yields two weight rows per op. The 2^bits factor and the '-1' fold
+    into the scale slabs host-side (quant_matmul), so the kernel's dequant
+    epilogue is unchanged. This halves the VPU unpack cost that bounds
+    decode GEMMs (measured: unpack-only == full kernel time at M=32)."""
+    u = pltpu.bitcast(qw, jnp.uint32)
+    vpw = vals_per_word(bits)
+    sh = 7 - bits  # mantissa position of the code
+    mask2 = jnp.uint32(((2**bits - 1) << sh) * 0x00010001)
+    one2 = jnp.uint32(0x3F803F80)
+    parts = []
+    for j in range(vpw // 2):
+        s = bits * j - sh
+        t = (u >> jnp.uint32(s)) if s >= 0 else (u << jnp.uint32(-s))
+        parts.append(pltpu.bitcast((t & mask2) | one2, jnp.bfloat16))
+    return jnp.concatenate(parts, axis=0)  # (bk, bn), natural row order
+
+
+
+def _pairs_fast_path(layout: str, gs_rows: int, bk: int, bits: int) -> bool:
+    """Whether the pairs bf16-injection fast path applies: every injected
+    part (bk*bits/16 rows) and every merged dot (ppd parts, ~128 rows) must
+    lie inside a single quant group so the per-group scaling stays exact."""
+    if layout != "pairs" or gs_rows < 128:
+        return False
+    part_rows = bk * bits // 16
+    if gs_rows % part_rows != 0:
+        return False
+    ppd = max(1, 128 // part_rows)
+    return gs_rows % (part_rows * ppd) == 0
+
+
 def _qmm_kernel(x_ref, qw_ref, sc_ref, zp_ref, out_ref, acc_ref,
                 *, bits: int, bk: int, bn: int, gs_rows: int,
-                grouped: bool, out_dtype):
+                grouped: bool, out_dtype, layout: str = "planar"):
     nk = pl.num_programs(2)
     k = pl.program_id(2)
 
@@ -70,7 +118,6 @@ def _qmm_kernel(x_ref, qw_ref, sc_ref, zp_ref, out_ref, acc_ref,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     xv = x_ref[:]
-    codes = _unpack_tile(qw_ref[:], bits, bk)  # (bk, bn) int32
     n_g = bk // gs_rows
     # sc/off blocks are (1, ngp, bn) host-side per-K-tile slabs (ngp = n_g
     # rounded up to 8 sublanes); off = -zero*scale precomputed. Codes cast
@@ -78,6 +125,52 @@ def _qmm_kernel(x_ref, qw_ref, sc_ref, zp_ref, out_ref, acc_ref,
     # exact in bf16; measured ~40% faster than f32 on v5e).
     sc = sc_ref[0, :n_g, :]
     off = zp_ref[0, :n_g, :]
+    if _pairs_fast_path(layout, gs_rows, bk, bits):
+        # pairs fast path: each injected part j — ((u >> s) & mask2) | one2,
+        # bitcast 32->16 — IS the contiguous natural-row slice
+        # [j*2W, (j+1)*2W) of the tile (2W = bk*bits/16 rows <= one quant
+        # group), so the MXU consumes every part straight out of the
+        # injection with NO (bk, bn) concatenate/materialization. The host
+        # folded 2^b into sc and (off - 2^b*sc) into off (w' = 1 + c/2^b).
+        u = pltpu.bitcast(qw_ref[:], jnp.uint32)
+        vpw = vals_per_word(bits)
+        sh = 7 - bits
+        mask2 = jnp.uint32(((2**bits - 1) << sh) * 0x00010001)
+        one2 = jnp.uint32(0x3F803F80)
+        part_rows = 2 * (bk * bits // 32)
+        m = xv.shape[0]
+        xsum = jnp.sum(
+            xv.astype(jnp.float32).reshape(m, n_g, gs_rows), axis=-1)
+        acc = jnp.dot(xsum, off.astype(jnp.float32),
+                      preferred_element_type=jnp.float32)
+
+        def part(j):
+            s = bits * j - sh
+            t = (u >> jnp.uint32(s)) if s >= 0 else (u << jnp.uint32(-s))
+            w1j = pltpu.bitcast((t & mask2) | one2, jnp.bfloat16)
+            return w1j if w1j.dtype == xv.dtype else w1j.astype(xv.dtype)
+
+        # feed the MXU >= 128-row dots: adjacent parts are consecutive
+        # natural-row slices, so concatenating ppd of them (W2: 2x64 rows)
+        # restores a full-width contraction without touching group math
+        ppd = max(1, 128 // part_rows)
+        dot_rows = part_rows * ppd
+        for j0 in range(0, vpw // 2, ppd):
+            w1 = (part(j0) if ppd == 1 else jnp.concatenate(
+                [part(j0 + d) for d in range(ppd)], axis=0))
+            g_j = (j0 * part_rows) // gs_rows
+            d = jnp.dot(xv[:, j0 * part_rows : j0 * part_rows + dot_rows],
+                        w1, preferred_element_type=jnp.float32)
+            acc += d * sc[g_j][None, :].astype(jnp.float32)
+        acc_ref[:] += acc
+
+        @pl.when(k == nk - 1)
+        def _():
+            out_ref[:] = acc_ref[:].astype(out_dtype)
+
+        return
+
+    codes = _unpack_tile(qw_ref[:], bits, bk, layout)  # (bk, bn) int32
     if gs_rows >= 128:
         # post-matmul group scaling: contract each quant group against the
         # RAW codes on the MXU, then scale the (m, bn) partial product and
@@ -117,10 +210,10 @@ def _qmm_kernel(x_ref, qw_ref, sc_ref, zp_ref, out_ref, acc_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("bits", "group_size", "out_features", "block_n",
-                     "tile_k", "interpret"),
+                     "tile_k", "layout", "interpret"),
 )
 def _qmm_call(x, qweight, scales_t, zeros_t, bits, group_size,
-              out_features, block_n, tile_k, interpret):
+              out_features, block_n, tile_k, interpret, layout="planar"):
     m, k = x.shape
     bk = tile_k  # one K tile == one pack tile (layout parameter)
     k_pad = rows_per_words(bits, qweight.shape[0])
@@ -143,6 +236,13 @@ def _qmm_call(x, qweight, scales_t, zeros_t, bits, group_size,
     # (nk, ngp, n): slab j holds the groups of K tile j, sublane-padded to 8
     n_g = bk // gs_rows
     ngp = -(-n_g // 8) * 8
+    # coarse-group paths consume the slabs in f32 (the kernel multiplies
+    # f32 dot outputs); keeping them f32 is also REQUIRED for the pairs
+    # fold, where sc2 and the -sc2 inside off2 must cancel exactly —
+    # separate bf16 roundings broke the cancellation by ~sc*2^b*|xsum|.
+    # The fine-group fma path keeps x.dtype (w = codes*sc + off in-dtype).
+    slab_dtype = jnp.float32 if gs_rows >= 128 else x.dtype
+
     def to_slabs(a):
         if group_size:
             g_needed = nk * n_g
@@ -152,15 +252,20 @@ def _qmm_call(x, qweight, scales_t, zeros_t, bits, group_size,
             a = a.reshape(nk, n_g, n)
         else:
             a = jnp.broadcast_to(a[None], (nk, 1, n))
-        return jnp.pad(a, ((0, 0), (0, ngp - n_g), (0, 0))).astype(x.dtype)
+        return jnp.pad(a, ((0, 0), (0, ngp - n_g), (0, 0))).astype(slab_dtype)
 
     offsets_t = -zeros_t * scales_t
+    if _pairs_fast_path(layout, gs_rows, bk, bits):  # kernel fast-path cond
+        # fold the pairs path's w' = 1 + c/2^b algebra:
+        # sc*(x@c) + xsum*off == (2^b*sc)*(x@w') + xsum*(off - 2^b*sc)
+        offsets_t = offsets_t - scales_t * (2.0 ** bits)
+        scales_t = scales_t * (2.0 ** bits)
     scales_t = to_slabs(scales_t)
     offsets_t = to_slabs(offsets_t)
 
     kernel = functools.partial(
         _qmm_kernel, bits=bits, bk=bk, bn=bn, gs_rows=gs_rows,
-        grouped=bool(group_size), out_dtype=x.dtype)
+        grouped=bool(group_size), out_dtype=x.dtype, layout=layout)
 
     sc_spec = pl.BlockSpec(
         (1, ngp, bn), lambda im, i, j: (j, 0, i), memory_space=pltpu.VMEM)
@@ -223,7 +328,7 @@ def quant_matmul(x: jax.Array, pw: PackedWeight, block_n: int = 2048,
         x2, pw.qweight, scales_t, zeros_t,
         bits=pw.bits, group_size=pw.group_size,
         out_features=n, block_n=bn, tile_k=pw.tile_k,
-        interpret=interpret)
+        interpret=interpret, layout=pw.layout)
     if pw.bias is not None:
         y = y + pw.bias.astype(y.dtype)
     return y.reshape(*orig_shape[:-1], n)
@@ -271,7 +376,7 @@ def quantize_act_int(x: jax.Array, cfg) -> tuple:
 
 def _qmm_int_kernel(x_ref, xs_ref, qw_ref, sc_ref, zp_ref, out_ref, acc_ref,
                     *, bits: int, bk: int, bn: int, gs_rows: int,
-                    out_dtype):
+                    out_dtype, layout: str = "planar"):
     nk = pl.num_programs(2)
     k = pl.program_id(2)
 
@@ -280,7 +385,7 @@ def _qmm_int_kernel(x_ref, xs_ref, qw_ref, sc_ref, zp_ref, out_ref, acc_ref,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     xc = x_ref[:]                                    # (bm, bk) int8
-    codes = _unpack_tile(qw_ref[:], bits, bk)        # (bk, bn) int32
+    codes = _unpack_tile(qw_ref[:], bits, bk, layout)  # (bk, bn) int32
     wc = (codes - 2 ** (bits - 1)).astype(jnp.int8)  # centered, exact
     n_g = bk // gs_rows
     sc = sc_ref[0, :n_g, :]    # (n_g, bn) f32
@@ -305,10 +410,11 @@ def _qmm_int_kernel(x_ref, xs_ref, qw_ref, sc_ref, zp_ref, out_ref, acc_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("bits", "group_size", "out_features", "block_n",
-                     "tile_k", "out_dtype", "interpret"),
+                     "tile_k", "out_dtype", "layout", "interpret"),
 )
 def _qmm_int_call(xc, xs, qweight, scales_t, off2_t, bits, group_size,
-                  out_features, block_n, tile_k, out_dtype, interpret):
+                  out_features, block_n, tile_k, out_dtype, interpret,
+                  layout="planar"):
     m, k = xc.shape
     bk = tile_k
     k_pad = rows_per_words(bits, qweight.shape[0])
@@ -346,7 +452,7 @@ def _qmm_int_call(xc, xs, qweight, scales_t, off2_t, bits, group_size,
 
     kernel = functools.partial(
         _qmm_int_kernel, bits=bits, bk=bk, bn=bn, gs_rows=gs_rows,
-        out_dtype=out_dtype)
+        out_dtype=out_dtype, layout=layout)
     sc_spec = pl.BlockSpec(
         (1, ngp, bn), lambda im, i, j: (j, 0, i), memory_space=pltpu.VMEM)
 
@@ -412,7 +518,8 @@ def quant_matmul_int(x: jax.Array, pw: PackedWeight, act_cfg,
         xc, xs, pw.qweight, scales_t, off2_t,
         bits=pw.bits, group_size=pw.group_size,
         out_features=n, block_n=bn, tile_k=pw.tile_k,
-        out_dtype=jnp.dtype(x.dtype), interpret=interpret)
+        out_dtype=jnp.dtype(x.dtype), interpret=interpret,
+        layout=pw.layout)
     if pw.bias is not None:
         y = y + pw.bias.astype(y.dtype)
     return y.reshape(*orig_shape[:-1], n)

@@ -126,6 +126,7 @@ def block_forward(
     spec: ActQuantSpec = NO_ACT_QUANT,
     kv_cache: Optional[tuple] = None,
     tap: Optional[dict] = None,
+    attn_impl=None,
 ):
     """One decoder block. Returns (y, new_kv_cache).
 
@@ -136,6 +137,12 @@ def block_forward(
     `tap`, when a dict, collects each linear's input activation (the
     functional analog of the reference's forward hooks in
     generate_act_scale_shift.py:25-57).
+
+    `attn_impl`, when given, replaces attention_core:
+    attn_impl(q, k_rep, v_rep, spec) -> (b, h, s, hd) — the hook
+    sequence-parallel calibration uses to run ring attention over an sp
+    mesh axis (parallel/sp_calib.py); positions must then be the GLOBAL
+    positions of this shard's rows.
     """
     b, s, h = x.shape
     hd, n_heads, n_kv = cfg.head_dim, cfg.num_attention_heads, cfg.num_key_value_heads
@@ -162,9 +169,12 @@ def block_forward(
 
     k_r = repeat_kv(k, cfg.n_rep)
     v_r = repeat_kv(v, cfg.n_rep)
-    if mask is None:
-        mask = causal_mask(s, k_r.shape[2], dtype=x.dtype)
-    attn = attention_core(q, k_r, v_r, mask, 1.0 / (hd ** 0.5), spec)
+    if attn_impl is not None:
+        attn = attn_impl(q, k_r, v_r, spec)
+    else:
+        if mask is None:
+            mask = causal_mask(s, k_r.shape[2], dtype=x.dtype)
+        attn = attention_core(q, k_r, v_r, mask, 1.0 / (hd ** 0.5), spec)
     attn = attn.transpose(0, 2, 1, 3).reshape(b, s, n_heads * hd)
     if tap is not None:
         tap["o_proj"] = attn

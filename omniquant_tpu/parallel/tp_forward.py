@@ -103,9 +103,10 @@ def _retile_packed(pw: PackedWeight, new_tile: int) -> PackedWeight:
 
     k_total = rows_per_words(pw.bits, pw.qweight.shape[0])
     codes = unpack_codes(pw.qweight, pw.bits, k_total, pw.group_size,
-                         pw.tile_k)  # (k_total, out) incl. layout pad rows
+                         pw.tile_k, pw.layout)  # incl. layout pad rows
     assert k_total % new_tile == 0, (k_total, new_tile)
-    qweight = pack_codes(codes.T, pw.bits, pw.group_size, new_tile)
+    qweight = pack_codes(codes.T, pw.bits, pw.group_size, new_tile,
+                         pw.layout)
     return dataclasses.replace(pw, qweight=qweight, tile_k=new_tile)
 
 
@@ -260,7 +261,7 @@ def _pw_sharded_row(pw: PackedWeight, mesh: Mesh):
             pw.bias, NamedSharding(mesh, P("tp"))),
         bits=pw.bits, group_size=pw.group_size,
         in_features=pw.in_features, out_features=pw.out_features,
-        tile_k=pw.tile_k,
+        tile_k=pw.tile_k, layout=pw.layout,
     )
 
 
@@ -276,7 +277,7 @@ def _pw_sharded_col(pw: PackedWeight, mesh: Mesh):
             pw.bias, NamedSharding(mesh, P())),
         bits=pw.bits, group_size=pw.group_size,
         in_features=pw.in_features, out_features=pw.out_features,
-        tile_k=pw.tile_k,
+        tile_k=pw.tile_k, layout=pw.layout,
     )
 
 
@@ -341,7 +342,7 @@ def _make_shard_block(mesh: Mesh, family: str, cfg, tp: int):
             bias=None if pw.bias is None else (P("tp") if row else P()),
             bits=pw.bits, group_size=pw.group_size,
             in_features=pw.in_features, out_features=pw.out_features,
-            tile_k=pw.tile_k)
+            tile_k=pw.tile_k, layout=pw.layout)
 
     def block_specs(block):
         out = {}

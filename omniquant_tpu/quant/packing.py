@@ -84,12 +84,18 @@ def pack_tile(bits: int, group_size: Optional[int],
 class PackedWeight:
     """A packed quantized linear weight.
 
-    qweight: int32 (k_pad / vpw, out) — planar-packed W^T codes, where
+    qweight: int32 (k_pad * bits / 32, out) — packed W^T codes, where
              k_pad = in_features rounded up to tile_k
     scales:  (out, n_groups) f32
     zeros:   (out, n_groups) f32 — *rounded* zero points (reference keeps
              round_zero_point; dequant is (q - zero) * scale)
     bias:    optional (out,)
+    layout:  "planar" — tile-local bit planes (see module docstring);
+             "pairs"  — codes paired 16 bits apart inside each word so the
+             matmul kernel manufactures TWO bf16 weights (1 + c/2^b, the
+             2^b and -1 folding into the scale slabs) with ONE
+             shift+and+or — halving the VPU unpack cost that dominates
+             decode GEMMs (bits 2/4, coarse or per-channel groups)
     """
 
     qweight: jax.Array
@@ -101,6 +107,7 @@ class PackedWeight:
     in_features: int
     out_features: int
     tile_k: int = 0  # 0 => derive default from (bits, group_size, in)
+    layout: str = "planar"
 
     def __post_init__(self):
         if not self.tile_k:
@@ -115,7 +122,7 @@ class PackedWeight:
         return (
             (self.qweight, self.scales, self.zeros, self.bias),
             (self.bits, self.group_size, self.in_features, self.out_features,
-             self.tile_k),
+             self.tile_k, self.layout),
         )
 
     @classmethod
@@ -156,14 +163,49 @@ def _unpack_planar(packed: jax.Array, bits: int, tile: int) -> jax.Array:
     return vals.reshape(-1, out_f)
 
 
+def _pack_pairs(codes_t: jax.Array, bits: int, tile: int) -> jax.Array:
+    """(k_pad, out) codes -> (k_pad*bits/32, out) words in the PAIRS layout:
+    within each tile of T rows (W = T*bits/32 words), natural row
+    n = j*(2W) + 2w + h lives at bit position bits*j + 16*h of word w —
+    i.e. the two halves of a 32-bit word hold a PAIR of codes 16 bits
+    apart, which the kernel turns into two bf16 weights with one
+    shift+and+or (Mosaic's 32->16 bitcast interleaves sublanes as
+    [lo16, hi16], giving natural row order after a j-major concat)."""
+    assert bits in (2, 4), bits
+    k_pad, out_f = codes_t.shape
+    vpw = vals_per_word(bits)
+    W = tile * bits // 32
+    tiles = codes_t.reshape(k_pad // tile, vpw // 2, W, 2, out_f)
+    shifts = (bits * jnp.arange(vpw // 2, dtype=jnp.uint32)
+              )[None, :, None, None, None]
+    h16 = (16 * jnp.arange(2, dtype=jnp.uint32))[None, None, None, :, None]
+    packed = jnp.sum(tiles << (shifts + h16), axis=(1, 3), dtype=jnp.uint32)
+    return packed.reshape(k_pad * bits // 32, out_f)
+
+
+def _unpack_pairs(packed: jax.Array, bits: int, tile: int) -> jax.Array:
+    assert bits in (2, 4), bits
+    n_words, out_f = packed.shape
+    vpw = vals_per_word(bits)
+    W = tile * bits // 32
+    mask = jnp.uint32(2**bits - 1)
+    p = packed.astype(jnp.uint32).reshape(-1, 1, W, 1, out_f)
+    shifts = (bits * jnp.arange(vpw // 2, dtype=jnp.uint32)
+              )[None, :, None, None, None]
+    h16 = (16 * jnp.arange(2, dtype=jnp.uint32))[None, None, None, :, None]
+    vals = (p >> (shifts + h16)) & mask
+    return vals.reshape(-1, out_f)
+
+
 def pack_codes(codes: jax.Array, bits: int,
                group_size: Optional[int] = None,
-               tile_k: Optional[int] = None) -> jax.Array:
+               tile_k: Optional[int] = None,
+               layout: str = "planar") -> jax.Array:
     """Pack int codes (out, in) -> int32 (in_pad*bits/32, out), tile-local
-    planar. 3-bit decomposes into a 2-bit plane followed by a 1-bit plane
-    per tile (exactly 3.0 bits/value; avoids non-power-of-two packing whose
-    unpack patterns compile poorly). Codes are zero-padded up to
-    k_pad = roundup(in, tile)."""
+    planar (default) or pairs (see _pack_pairs; bits 2/4). 3-bit decomposes
+    into a 2-bit plane followed by a 1-bit plane per tile (exactly 3.0
+    bits/value; avoids non-power-of-two packing whose unpack patterns
+    compile poorly). Codes are zero-padded up to k_pad = roundup(in, tile)."""
     out_f, in_f = codes.shape
     tile = tile_k or pack_tile(bits, group_size, in_f)
     codes_t = codes.T.astype(jnp.uint32)  # (in, out)
@@ -171,6 +213,8 @@ def pack_codes(codes: jax.Array, bits: int,
     if pad:
         codes_t = jnp.pad(codes_t, ((0, pad), (0, 0)))
     k_pad = codes_t.shape[0]
+    if layout == "pairs":
+        return _pack_pairs(codes_t, bits, tile).astype(jnp.int32)
     if bits == 3:
         n_tiles = k_pad // tile
         tiles = codes_t.reshape(n_tiles, tile, out_f)
@@ -200,13 +244,17 @@ def pack_codes(codes: jax.Array, bits: int,
 
 def unpack_codes(packed: jax.Array, bits: int, in_features: int,
                  group_size: Optional[int] = None,
-                 tile_k: Optional[int] = None) -> jax.Array:
+                 tile_k: Optional[int] = None,
+                 layout: str = "planar") -> jax.Array:
     """Unpack int32 words -> codes (in_features, out) [W^T layout].
 
     Pure jnp; the Pallas kernels inline the per-tile variant (static 2-D
     shift/mask ops + concatenates)."""
     n_words, out_f = packed.shape
     tile = tile_k or pack_tile(bits, group_size, in_features)
+    if layout == "pairs":
+        vals = _unpack_pairs(packed.astype(jnp.uint32), bits, tile)
+        return vals[:in_features].astype(jnp.int32)
     if bits == 3:
         wpt = tile * 3 // 32
         tiles = packed.astype(jnp.uint32).reshape(-1, wpt, out_f)
@@ -230,6 +278,15 @@ def unpack_codes(packed: jax.Array, bits: int, in_features: int,
     return vals[:in_features].astype(jnp.int32)
 
 
+def default_layout(bits: int, group_size: Optional[int]) -> str:
+    """'pairs' wherever the fast decode path supports it (bits 2/4,
+    per-channel or >=128-row groups — the post-matmul group-scaling
+    regime), else 'planar'."""
+    if bits in (2, 4) and (group_size is None or group_size >= 128):
+        return "pairs"
+    return "planar"
+
+
 def pack_weight(
     w: jax.Array,
     cfg: QuantConfig,
@@ -238,6 +295,7 @@ def pack_weight(
     scale: Optional[jax.Array] = None,
     rzp: Optional[jax.Array] = None,
     tile_k: Optional[int] = None,
+    layout: str = "planar",
 ) -> PackedWeight:
     """Quantize + pack a weight (out, in) into PackedWeight.
 
@@ -261,8 +319,10 @@ def pack_weight(
     scales = scale.reshape(out_f, -1).astype(jnp.float32)
     zeros = rzp.reshape(out_f, -1).astype(jnp.float32)
     tile = tile_k or pack_tile(cfg.n_bits, cfg.group_size, in_padded)
+    if layout == "auto":
+        layout = default_layout(cfg.n_bits, cfg.group_size)
     return PackedWeight(
-        qweight=pack_codes(codes, cfg.n_bits, cfg.group_size, tile),
+        qweight=pack_codes(codes, cfg.n_bits, cfg.group_size, tile, layout),
         scales=scales,
         zeros=zeros,
         bias=bias,
@@ -271,6 +331,7 @@ def pack_weight(
         in_features=in_padded,
         out_features=out_f,
         tile_k=tile,
+        layout=layout,
     )
 
 
@@ -279,7 +340,7 @@ def dequantize_packed(pw: PackedWeight, dtype=jnp.float32) -> jax.Array:
     the Pallas kernel is validated against bit-for-bit on the int domain."""
     codes = unpack_codes(
         pw.qweight, pw.bits, pw.in_features, pw.group_size,
-        pw.tile_k)  # (in, out)
+        pw.tile_k, pw.layout)  # (in, out)
     out_f = codes.shape[1]
     if pw.group_size:
         # reshape-broadcast per group (a per-row gather compiles/runs

@@ -44,6 +44,7 @@ def fuse_packed(pws: List[PackedWeight]) -> Optional[PackedWeight]:
         p.bits == first.bits and p.group_size == first.group_size
         and p.in_features == first.in_features
         and p.tile_k == first.tile_k
+        and p.layout == first.layout
         and p.qweight.shape[0] == first.qweight.shape[0]
         for p in pws
     ):
@@ -64,6 +65,7 @@ def fuse_packed(pws: List[PackedWeight]) -> Optional[PackedWeight]:
         in_features=first.in_features,
         out_features=sum(p.out_features for p in pws),
         tile_k=first.tile_k,
+        layout=first.layout,
     )
 
 

@@ -25,6 +25,7 @@ def pack_model(
     wcfg: QuantConfig,
     omni_parameters: Optional[dict] = None,
     tile_k: Optional[int] = None,
+    layout: str = "auto",
 ) -> dict:
     """Returns {'layers': [{linear_name: PackedWeight}, ...], plus the
     non-layer params passed through unchanged}.
@@ -51,7 +52,7 @@ def pack_model(
                     kw = {"scale": qp[name]["scale"], "rzp": qp[name]["zero"]}
                 pb[name] = pack_weight(
                     sub["weight"], pack_cfg, bias=sub.get("bias"),
-                    tile_k=tile_k, **kw)
+                    tile_k=tile_k, layout=layout, **kw)
             else:
                 pb[name] = sub
         packed_layers.append(pb)

@@ -73,6 +73,7 @@ def fuse_packed_tp(pws, tp: int) -> Optional[PackedWeight]:
         p.bits == first.bits and p.group_size == first.group_size
         and p.in_features == first.in_features
         and p.tile_k == first.tile_k
+        and p.layout == first.layout
         and p.qweight.shape[0] == first.qweight.shape[0]
         and p.out_features % tp == 0
         for p in pws
@@ -100,6 +101,7 @@ def fuse_packed_tp(pws, tp: int) -> Optional[PackedWeight]:
         in_features=first.in_features,
         out_features=sum(p.out_features for p in pws),
         tile_k=first.tile_k,
+        layout=first.layout,
     )
 
 
@@ -130,7 +132,7 @@ def _pw_spec(pw: PackedWeight, row: bool) -> PackedWeight:
         bias=None if pw.bias is None else bspec,
         bits=pw.bits, group_size=pw.group_size,
         in_features=pw.in_features, out_features=pw.out_features,
-        tile_k=pw.tile_k)
+        tile_k=pw.tile_k, layout=pw.layout)
 
 
 def _place_dense(w: dict, mesh: Mesh, row: bool):

@@ -65,7 +65,8 @@ def test_kernel_bias_and_3d_input():
 def test_kernel_bf16_input():
     """bf16 inputs contract in bf16 with f32 accumulation (serving fast
     path): compare against a reference mirroring the kernel's post-matmul
-    group-scaling factorization (x_g @ codes_g) * sc_g + xsum_g @ off_g."""
+    group-scaling factorization (x_g @ codes_g) * sc_g + xsum_g @ off_g
+    (slabs stay f32 in the coarse path — see _qmm_call slab_dtype)."""
     from omniquant_tpu.quant.packing import unpack_codes
 
     pw = make_packed(4, 128, out_f=256, in_f=512)
@@ -79,9 +80,8 @@ def test_kernel_bf16_input():
         dtype=np.float32)  # (in, out); codes <= 15 are exact in bf16
     gs = pw.group_size
     n_g = pw.in_features // gs
-    sc = np.asarray(pw.scales.T.astype(jnp.bfloat16), np.float32)  # (G, out)
-    off = np.asarray(
-        (-pw.zeros * pw.scales).T.astype(jnp.bfloat16), np.float32)
+    sc = np.asarray(pw.scales.T, np.float32)  # (G, out)
+    off = np.asarray((-pw.zeros * pw.scales).T, np.float32)
     xf = np.asarray(x, np.float32)
     acc = np.zeros((x.shape[0], pw.out_features), np.float32)
     for g in range(n_g):
@@ -270,3 +270,56 @@ def test_engine_w4a4_int_path_matches_eval(tiny_packed_llama=None):
         ref.append(nxt)
         toks = jnp.concatenate([toks, jnp.asarray([[nxt]])], axis=1)
     assert got == ref, (got, ref)
+
+
+@pytest.mark.parametrize("bits,group_size", [
+    (4, 128), (2, 128), (4, None), (2, None),
+])
+def test_kernel_pairs_layout_matches_reference(bits, group_size):
+    """The pairs-layout fast path (bf16 mantissa-injection unpack + folded
+    scale slabs) == the dequant reference. Tolerance: the w' = 1 + c/2^b
+    fold subtracts the rank-1 constant part after the f32 dot, so ~1 bit of
+    f32 cancellation roundoff is expected (measured <= 2e-4 absolute on
+    O(50) outputs)."""
+    pw = make_packed_layout(bits, group_size, out_f=256, in_f=512,
+                            seed=bits, layout="pairs")
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((4, 512)).astype(np.float32))
+    ref = quant_matmul_reference(x, pw)
+    got = quant_matmul(x, pw, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-3)
+
+
+def test_kernel_pairs_bf16_and_int_path():
+    from omniquant_tpu.kernels.quant_matmul import quant_matmul_int
+    from omniquant_tpu.quant.packing import dequantize_packed
+    from omniquant_tpu.quant.quantizer import fake_quant_act
+
+    pw = make_packed_layout(4, 128, out_f=256, in_f=512, seed=13,
+                            layout="pairs")
+    rng = np.random.default_rng(14)
+    x = jnp.asarray(rng.standard_normal((4, 512)), jnp.bfloat16)
+    got = quant_matmul(x, pw, interpret=True)
+    ref = quant_matmul_reference(x.astype(jnp.float32), pw)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref),
+        rtol=2e-2, atol=np.abs(np.asarray(ref)).max() * 2e-2)
+
+    xf = jnp.asarray(rng.standard_normal((4, 512)).astype(np.float32))
+    acfg = QuantConfig(n_bits=4, symmetric=False)
+    got_i = quant_matmul_int(xf, pw, acfg, interpret=True)
+    want_i = jnp.einsum("mk,kn->mn", fake_quant_act(xf, acfg),
+                        dequantize_packed(pw, dtype=jnp.float32))
+    np.testing.assert_allclose(
+        np.asarray(got_i), np.asarray(want_i), rtol=1e-5, atol=1e-3)
+
+
+def make_packed_layout(bits, group_size, out_f, in_f, seed=0, bias=False,
+                       layout="planar"):
+    rng = np.random.default_rng(seed)
+    w = jnp.asarray(rng.standard_normal((out_f, in_f)).astype(np.float32))
+    b = (jnp.asarray(rng.standard_normal(out_f).astype(np.float32))
+         if bias else None)
+    cfg = QuantConfig(n_bits=bits, group_size=group_size)
+    return pack_weight(w, cfg, bias=b, layout=layout)

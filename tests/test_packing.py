@@ -65,3 +65,31 @@ def test_compression_ratio():
             pw.qweight.size * 32 + pw.scales.size * 16 + pw.zeros.size * 16
         )  # scales/zeros counted at fp16 storage width
         assert total_bits / n_weights == pytest.approx(expect, rel=0.02)
+
+
+def test_pairs_layout_roundtrip():
+    """pack/unpack roundtrip of the pairs layout (codes 16 bits apart per
+    word so the kernel manufactures bf16 pairs with one op)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from omniquant_tpu.quant.packing import pack_codes, unpack_codes
+
+    rng = np.random.default_rng(3)
+    for bits in (2, 4):
+        codes = jnp.asarray(
+            rng.integers(0, 2**bits, (96, 512)), jnp.int32)  # (out, in)
+        packed = pack_codes(codes, bits, group_size=128, layout="pairs")
+        assert packed.shape[0] == 512 * bits // 32
+        got = unpack_codes(packed, bits, 512, group_size=128,
+                           layout="pairs")
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(codes.T))
+
+
+def test_pairs_layout_default_selection():
+    from omniquant_tpu.quant.packing import default_layout
+
+    assert default_layout(4, 128) == "pairs"
+    assert default_layout(2, None) == "pairs"
+    assert default_layout(4, 64) == "planar"   # fine groups: fma path
+    assert default_layout(3, 128) == "planar"  # composite width
+    assert default_layout(8, 128) == "planar"  # 8-bit codes overflow bf16

@@ -9,8 +9,9 @@ from omniquant_tpu.kernels.flash_attention import flash_attention_reference
 from omniquant_tpu.parallel.ring_attention import ring_attention
 
 
+@pytest.mark.parametrize("impl", ["jnp", "flash"])
 @pytest.mark.parametrize("sp", [2, 4, 8])
-def test_ring_attention_matches_dense(sp):
+def test_ring_attention_matches_dense(sp, impl):
     mesh = Mesh(np.asarray(jax.devices()[:sp]), ("sp",))
     B, H, S, D = 2, 4, 64, 32
     rng = np.random.default_rng(0)
@@ -19,12 +20,13 @@ def test_ring_attention_matches_dense(sp):
     v = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
 
     want = flash_attention_reference(q, k, v, causal=True)
-    got = ring_attention(q, k, v, mesh, axis="sp", causal=True)
+    got = ring_attention(q, k, v, mesh, axis="sp", causal=True, impl=impl)
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
 
 
-def test_ring_attention_noncausal():
+@pytest.mark.parametrize("impl", ["jnp", "flash"])
+def test_ring_attention_noncausal(impl):
     mesh = Mesh(np.asarray(jax.devices()[:4]), ("sp",))
     B, H, S, D = 1, 2, 32, 16
     rng = np.random.default_rng(1)
@@ -33,6 +35,6 @@ def test_ring_attention_noncausal():
     v = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
     s = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(D)
     want = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(s, -1), v)
-    got = ring_attention(q, k, v, mesh, axis="sp", causal=False)
+    got = ring_attention(q, k, v, mesh, axis="sp", causal=False, impl=impl)
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
