@@ -229,3 +229,23 @@ def test_main_exposes_pile_choice_and_dispatch(tmp_path):
     train, _ = get_loaders("pile", nsamples=2, seed=0, seqlen=16,
                            tokenizer=Tok(), pile_data_files=str(pile_file))
     assert train.shape == (2, 16)
+
+
+def test_sample_windows_matches_reference_draw_sequence():
+    """Window sampling reproduces the reference's exact seeded draw
+    sequence (datautils.py:45-53: `random.seed(seed)` then per-sample
+    `random.randint(0, len - seqlen - 1)`), so calibration batches are
+    bit-identical given the same tokenized corpus — the prerequisite for
+    the full-scale ppl parity run (docs/parity_reproduction.md)."""
+    import random
+
+    from omniquant_tpu.calib.data import sample_windows
+
+    corpus = np.arange(10_000, dtype=np.int32)
+    for seed, nsamples, seqlen in [(0, 8, 128), (2, 16, 2048 // 16)]:
+        got = sample_windows(corpus, nsamples, seed, seqlen)
+        random.seed(seed)
+        for s in range(nsamples):
+            i = random.randint(0, corpus.shape[0] - seqlen - 1)
+            np.testing.assert_array_equal(
+                got[s], corpus[i : i + seqlen], err_msg=f"sample {s}")

@@ -67,3 +67,44 @@ def test_two_process_calibration_step_matches_single_process():
     oracle = float(calibration_step_global(
         global_mesh(tp=2, dp=2), shard_fn, lambda n: slice(0, n)))
     assert np.isclose(losses[0], oracle, rtol=1e-5), (losses[0], oracle)
+
+
+def test_two_process_multistep_calibration_and_fold():
+    """Multi-step dp x tp calibration with per-host data loading
+    (process_slice over a real seeded loader), folded weights equal across
+    ranks AND equal to the single-process oracle; also records the
+    2-process vs 1-process wall-clock ratio as a directional scaling
+    number (VERDICT r2 #9)."""
+    import time
+
+    outs = _run_workers()
+    sums, heads, walls = [], [], []
+    for out in outs:
+        sums.append(float(re.search(r"FOLDSUM ([0-9.eE+-]+)", out).group(1)))
+        heads.append(re.search(r"FOLDHEAD (.+)", out).group(1).split())
+        walls.append(float(re.search(r"WALL ([0-9.eE+-]+)", out).group(1)))
+    assert np.isclose(sums[0], sums[1], rtol=1e-7), sums
+    assert heads[0] == heads[1], heads
+
+    from omniquant_tpu.parallel.multihost import global_mesh
+    from tests._multihost_worker import calibration_run_global
+
+    def shard_fn(mesh, arr):
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(
+            arr, NamedSharding(mesh, P("dp", *([None] * (arr.ndim - 1)))))
+
+    t0 = time.perf_counter()
+    oracle_sum, oracle_head = calibration_run_global(
+        global_mesh(tp=2, dp=2), shard_fn, lambda n: slice(0, n))
+    wall_1p = time.perf_counter() - t0
+    assert np.isclose(sums[0], oracle_sum, rtol=1e-6), (sums[0], oracle_sum)
+    np.testing.assert_allclose(
+        [float(v) for v in heads[0]], oracle_head, rtol=1e-6)
+    # directional scaling evidence only: CPU-gloo over localhost with
+    # process startup in the denominator — real ICI/DCN scaling needs pods
+    ratio = max(walls) / max(wall_1p, 1e-9)
+    print(f"2-process wall {max(walls):.2f}s vs 1-process {wall_1p:.2f}s "
+          f"(ratio {ratio:.2f}; includes jax startup per process)")

@@ -808,3 +808,103 @@ def test_llama_calibration_loop_matches_reference(ref):
         np.asarray(blk["input_layernorm"]["bias"]),
         qlayer.input_layernorm.bias.detach().numpy(),
         rtol=1e-3, atol=2e-5)
+
+
+def test_llama_gqa_lwc_calibration_loop_matches_reference(ref):
+    """GQA geometry (2 kv heads under 4 query heads) over MORE steps
+    (epochs 5): LWC-only — the reference's LET q<->k algebra is MHA-only,
+    but its GQA attention (repeat_kv, int_llama_layer.py:138-139) and LWC
+    training must still agree step-for-step. VERDICT r2 #10: keep the
+    strongest offline proxy growing until real checkpoints are reachable
+    (docs/parity_reproduction.md)."""
+    import torch as _torch_mod  # noqa: F401 (via ref.torch below)
+    from transformers import LlamaConfig as HFLlamaConfig
+    from transformers import LlamaForCausalLM
+
+    import omniquant_tpu.models.llama as jllama
+    from omniquant_tpu.calib.engine import CalibConfig, calibrate
+    from omniquant_tpu.models.registry import LLAMA
+
+    torch = ref.torch
+    hf_cfg = HFLlamaConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=1, num_attention_heads=4,
+        num_key_value_heads=2,  # GQA
+        max_position_embeddings=64, rms_norm_eps=1e-6,
+        attn_implementation="eager", tie_word_embeddings=False)
+    torch.manual_seed(21)
+    hf_model = LlamaForCausalLM(hf_cfg).eval().float()
+
+    nsamples, seqlen, bs, epochs = 4, 12, 2, 5
+    rng = np.random.default_rng(9)
+    tokens = rng.integers(0, hf_cfg.vocab_size, (nsamples, seqlen))
+    with torch.no_grad():
+        inps = hf_model.model.embed_tokens(torch.from_numpy(tokens)).float()
+    mask = _torch_mask(torch, seqlen)
+    position_ids = torch.arange(seqlen)[None]
+
+    ori = hf_model.model.layers[0]
+    ori.self_attn.rotary_emb = _OldRotary(
+        torch, hf_cfg.hidden_size // hf_cfg.num_attention_heads)
+    args = _quant_args(wbits=3, abits=16, group_size=16)
+    qlayer = ref.QuantLlamaDecoderLayer(hf_cfg, ori, args).float()
+    _detach_buffers(qlayer)
+
+    # reference inner loop, LWC-only (no LET registration, let stays False)
+    qlayer.set_quant_state(weight_quant=False, act_quant=False)
+    fp_inps = inps.clone()
+    with torch.no_grad():
+        for j in range(nsamples):
+            fp_inps[j] = qlayer(
+                fp_inps[j].unsqueeze(0), attention_mask=mask,
+                position_ids=position_ids)[0]
+    qlayer.set_quant_state(weight_quant=False, act_quant=True)
+    qlayer.let = False  # LWC-only (the reference sets this in omniquant())
+    qlayer.float()
+    optimizer = torch.optim.AdamW(
+        [{"params": list(qlayer.lwc_parameters()), "lr": 1e-2}],
+        weight_decay=0.0)
+    loss_fn_t = torch.nn.MSELoss()
+    mask_b = mask.repeat(bs, 1, 1, 1)
+    ref_losses = []
+    for _ in range(epochs):
+        for j in range(nsamples // bs):
+            idx = j * bs
+            qlayer.smooth_and_quant_temporary()
+            out = qlayer(inps[idx:idx + bs], attention_mask=mask_b,
+                         position_ids=position_ids)[0]
+            loss = loss_fn_t(fp_inps[idx:idx + bs], out)
+            ref_losses.append(float(loss))
+            optimizer.zero_grad()
+            loss.backward()
+            optimizer.step()
+    qlayer.clear_temp_variable()
+    qlayer.smooth_and_quant_inplace()
+
+    cfg = jllama.LlamaConfig.from_hf(hf_cfg)
+    params = jllama.from_hf_state_dict(hf_model.state_dict(), cfg)
+    cc = CalibConfig(wbits=3, abits=16, group_size=16, lwc=True, let=False,
+                     epochs=epochs, nsamples=nsamples, batch_size=bs)
+    our_losses = []
+
+    class Log:
+        def info(self, msg):
+            if "loss:" in msg:
+                our_losses.append(float(msg.split("loss:")[1].split()[0]))
+
+    params, omni = calibrate(LLAMA, params, cfg, jnp.asarray(tokens), cc,
+                             logger=Log())
+    ref_epoch = np.asarray(ref_losses).reshape(epochs, -1).mean(axis=1)
+    np.testing.assert_allclose(np.asarray(our_losses), ref_epoch,
+                               rtol=1e-3, atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(omni[0]["lwc"]["k_proj"]["upbound_factor"]),
+        qlayer.self_attn.k_proj.weight_quantizer.upbound_factor
+        .detach().numpy(), rtol=1e-3, atol=2e-5)
+    blk = params["layers"][0]
+    _compare_folded(blk["k_proj"]["weight"],
+                    qlayer.self_attn.k_proj.weight.detach().numpy(),
+                    "k_proj (GQA)")
+    _compare_folded(blk["down_proj"]["weight"],
+                    qlayer.mlp.down_proj.weight.detach().numpy(),
+                    "down_proj")
