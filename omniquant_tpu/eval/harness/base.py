@@ -95,7 +95,7 @@ class JaxLM(LM):
 
     def __init__(self, family, params, model_cfg, tokenizer,
                  seqlen: int = 2048, batch_size: int = 4, spec=None,
-                 max_gen_toks: int = 256):
+                 max_gen_toks: int = 256, tp_mesh=None):
         import jax
         import jax.numpy as jnp
 
@@ -109,6 +109,10 @@ class JaxLM(LM):
         self.batch_size = batch_size
         self.spec = spec if spec is not None else NO_ACT_QUANT
         self.max_gen_toks = max_gen_toks
+        # when set (a Mesh with a "tp" axis), engine-backed generation runs
+        # TENSOR-SHARDED (serving/tp_engine.py) — the user-facing tp>1
+        # serving path (main.py --tp + --tasks)
+        self.tp_mesh = tp_mesh
         self._jnp = jnp
 
         @partial(jax.jit, static_argnames=())
@@ -216,14 +220,23 @@ class JaxLM(LM):
         if getattr(self, "_engine", None) is None:
             import jax
 
-            from ...serving.engine import FalconEngine, LlamaEngine, OPTEngine
-
-            eng_cls = {"llama": LlamaEngine, "opt": OPTEngine,
-                       "falcon": FalconEngine}[self.family.name]
             dtype = jax.tree.leaves(self.params)[0].dtype
-            self._engine = eng_cls(
-                self.params, self.cfg, max_batch=self.batch_size,
-                max_len=self.seqlen, dtype=dtype, spec=self.spec)
+            if self.tp_mesh is not None:
+                from ...serving.tp_engine import TP_ENGINES
+
+                self._engine = TP_ENGINES[self.family.name](
+                    self.params, self.cfg, self.tp_mesh,
+                    max_batch=self.batch_size, max_len=self.seqlen,
+                    dtype=dtype, spec=self.spec)
+            else:
+                from ...serving.engine import (
+                    FalconEngine, LlamaEngine, OPTEngine)
+
+                eng_cls = {"llama": LlamaEngine, "opt": OPTEngine,
+                           "falcon": FalconEngine}[self.family.name]
+                self._engine = eng_cls(
+                    self.params, self.cfg, max_batch=self.batch_size,
+                    max_len=self.seqlen, dtype=dtype, spec=self.spec)
         return self._engine
 
     def greedy_until(self, requests):

@@ -47,6 +47,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, slopes_ref, *rest,
         out_ref, mo_ref, lo_ref, m_ref, l_ref, acc_ref = rest
     else:
         out_ref, m_ref, l_ref, acc_ref = rest
+    hh = pl.program_id(1)
     iq = pl.program_id(2)
     jk = pl.program_id(3)
     nk = pl.num_programs(3)
@@ -74,7 +75,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, slopes_ref, *rest,
         k_idx = jk * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 1)
         if has_alibi:
-            s = s + (slopes_ref[0] * sm_scale) * k_idx.astype(jnp.float32)
+            slope = slopes_ref[hh, 0]
+            s = s + (slope * sm_scale) * k_idx.astype(jnp.float32)
         valid = k_idx < kv_len
         if causal:
             q_idx = iq * block_q + jax.lax.broadcasted_iota(
@@ -124,8 +126,9 @@ def _flash_call(q, k, v, slopes, sm_scale, causal, kv_len, block_q, block_k,
     kv_spec = pl.BlockSpec((1, 1, block_k, D),
                            lambda b, h, i, j: (b, h // n_rep, j, 0),
                            memory_space=pltpu.VMEM)
-    slopes_spec = pl.BlockSpec((1,), lambda b, h, i, j: (h,),
-                               memory_space=pltpu.SMEM)
+    # the whole (H, 1) table unblocked in SMEM — blocked rank-1/(1,1) SMEM
+    # specs trip Mosaic's tiling rules; the kernel indexes by program_id(1)
+    slopes_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     kernel = functools.partial(
         _flash_kernel, sm_scale=sm_scale, block_q=block_q, block_k=block_k,
         kv_len=kv_len, causal=causal, has_alibi=has_alibi,
@@ -206,7 +209,7 @@ def flash_attention(q, k, v, sm_scale: Optional[float] = None,
 
     has_alibi = alibi_slopes is not None
     slopes = (jnp.asarray(alibi_slopes, jnp.float32) if has_alibi
-              else jnp.zeros((H,), jnp.float32))
+              else jnp.zeros((H,), jnp.float32)).reshape(H, 1)
     res = _flash_call(qp, kp, vp, slopes, sm_scale=float(sm_scale),
                       causal=causal, kv_len=Skv, block_q=block_q,
                       block_k=block_k, n_rep=H // Hkv, has_alibi=has_alibi,

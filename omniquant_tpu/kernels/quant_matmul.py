@@ -49,17 +49,23 @@ def _unpack_tile(qw, bits: int, bk: int, layout: str = "planar"):
     2-bit planes (code = low | hi << 4)."""
     u = pltpu.bitcast(qw, jnp.uint32)
     if layout == "pairs":
-        vpw = vals_per_word(bits)
-        mask = jnp.uint32(2**bits - 1)
-        parts = []
-        for j in range(vpw // 2):
-            lo = ((u >> jnp.uint32(bits * j)) & mask).astype(jnp.int32)
-            hi = ((u >> jnp.uint32(bits * j + 16)) & mask).astype(jnp.int32)
-            # natural rows j*2W + 2w + h: interleave lo/hi along sublanes
-            w_rows = lo.shape[0]
-            parts.append(jnp.stack([lo, hi], axis=1).reshape(
-                2 * w_rows, lo.shape[1]))
-        return jnp.concatenate(parts, axis=0)
+        def pairs_plane(up, b):
+            mask = jnp.uint32(2**b - 1)
+            parts = []
+            for j in range((32 // b) // 2):
+                lo = ((up >> jnp.uint32(b * j)) & mask).astype(jnp.int32)
+                hi = ((up >> jnp.uint32(b * j + 16)) & mask).astype(
+                    jnp.int32)
+                # natural rows j*2W + 2w + h: interleave along sublanes
+                parts.append(jnp.stack([lo, hi], axis=1).reshape(
+                    2 * lo.shape[0], lo.shape[1]))
+            return jnp.concatenate(parts, axis=0)
+
+        if bits == 3:
+            low = pairs_plane(u[: bk // 16], 2)
+            hi = pairs_plane(u[bk // 16 :], 1)
+            return low | (hi << 2)
+        return pairs_plane(u, bits)
     if bits == 3:
         low = _unpack_planar_tile(u[: bk // 16], 2)
         hi = _unpack_planar_tile(u[bk // 16 :], 1)
@@ -94,17 +100,31 @@ def _unpack_pairs_w1(qw, bits: int):
 
 
 
+def _pairs_planes(bits: int):
+    """(plane_bits, dot_coefficient) per injected plane. Power-of-2 widths
+    are one plane whose 2^b factor folds into the scale slabs (coef None);
+    3-bit runs its 2-bit and 1-bit planes with explicit coefficients
+    (x@c = 4*(x@w'_low) + 8*(x@w'_hi) - 12*xsum, the -12 folded into off)."""
+    if bits == 3:
+        return [(2, 4.0), (1, 8.0)]
+    return [(bits, None)]
+
+
 def _pairs_fast_path(layout: str, gs_rows: int, bk: int, bits: int) -> bool:
     """Whether the pairs bf16-injection fast path applies: every injected
-    part (bk*bits/16 rows) and every merged dot (ppd parts, ~128 rows) must
-    lie inside a single quant group so the per-group scaling stays exact."""
-    if layout != "pairs" or gs_rows < 128:
+    part (bk*plane_bits/16 rows) and every merged dot (ppd parts, ~128
+    rows) must lie inside a single quant group so the per-group scaling
+    stays exact."""
+    if layout != "pairs" or gs_rows < 128 or bits not in (2, 3, 4):
         return False
-    part_rows = bk * bits // 16
-    if gs_rows % part_rows != 0:
-        return False
-    ppd = max(1, 128 // part_rows)
-    return gs_rows % (part_rows * ppd) == 0
+    for b, _ in _pairs_planes(bits):
+        part_rows = bk * b // 16
+        if part_rows > gs_rows or gs_rows % part_rows != 0:
+            return False
+        ppd = max(1, 128 // part_rows)
+        if gs_rows % (part_rows * ppd) != 0:
+            return False
+    return True
 
 
 def _qmm_kernel(x_ref, qw_ref, sc_ref, zp_ref, out_ref, acc_ref,
@@ -132,36 +152,45 @@ def _qmm_kernel(x_ref, qw_ref, sc_ref, zp_ref, out_ref, acc_ref,
         # group), so the MXU consumes every part straight out of the
         # injection with NO (bk, bn) concatenate/materialization. The host
         # folded 2^b into sc and (off - 2^b*sc) into off (w' = 1 + c/2^b).
-        u = pltpu.bitcast(qw_ref[:], jnp.uint32)
-        vpw = vals_per_word(bits)
-        sh = 7 - bits
-        mask2 = jnp.uint32(((2**bits - 1) << sh) * 0x00010001)
+        u_all = pltpu.bitcast(qw_ref[:], jnp.uint32)
         one2 = jnp.uint32(0x3F803F80)
-        part_rows = 2 * (bk * bits // 32)
         m = xv.shape[0]
         xsum = jnp.sum(
             xv.astype(jnp.float32).reshape(m, n_g, gs_rows), axis=-1)
         acc = jnp.dot(xsum, off.astype(jnp.float32),
                       preferred_element_type=jnp.float32)
 
-        def part(j):
-            s = bits * j - sh
-            t = (u >> jnp.uint32(s)) if s >= 0 else (u << jnp.uint32(-s))
-            w1j = pltpu.bitcast((t & mask2) | one2, jnp.bfloat16)
-            return w1j if w1j.dtype == xv.dtype else w1j.astype(xv.dtype)
+        w_off = 0
+        for b, coef in _pairs_planes(bits):
+            n_words = bk * b // 32
+            u = u_all[w_off : w_off + n_words]
+            w_off += n_words
+            vpw_p = 32 // b
+            sh = 7 - b
+            mask2 = jnp.uint32(((2**b - 1) << sh) * 0x00010001)
+            part_rows = bk * b // 16
 
-        # feed the MXU >= 128-row dots: adjacent parts are consecutive
-        # natural-row slices, so concatenating ppd of them (W2: 2x64 rows)
-        # restores a full-width contraction without touching group math
-        ppd = max(1, 128 // part_rows)
-        dot_rows = part_rows * ppd
-        for j0 in range(0, vpw // 2, ppd):
-            w1 = (part(j0) if ppd == 1 else jnp.concatenate(
-                [part(j0 + d) for d in range(ppd)], axis=0))
-            g_j = (j0 * part_rows) // gs_rows
-            d = jnp.dot(xv[:, j0 * part_rows : j0 * part_rows + dot_rows],
-                        w1, preferred_element_type=jnp.float32)
-            acc += d * sc[g_j][None, :].astype(jnp.float32)
+            def part(j, u=u, b=b, sh=sh, mask2=mask2):
+                s = b * j - sh
+                t = (u >> jnp.uint32(s)) if s >= 0 else (u << jnp.uint32(-s))
+                w1j = pltpu.bitcast((t & mask2) | one2, jnp.bfloat16)
+                return w1j if w1j.dtype == xv.dtype else w1j.astype(xv.dtype)
+
+            # feed the MXU >= 128-row dots: adjacent parts are consecutive
+            # natural-row slices, so concatenating ppd of them (W2: 2x64
+            # rows) restores a full-width contraction; every plane covers
+            # ALL bk natural rows (x slices are per-part, not per-plane)
+            ppd = max(1, 128 // part_rows)
+            dot_rows = part_rows * ppd
+            for j0 in range(0, vpw_p // 2, ppd):
+                w1 = (part(j0) if ppd == 1 else jnp.concatenate(
+                    [part(j0 + d) for d in range(ppd)], axis=0))
+                g_j = (j0 * part_rows) // gs_rows
+                d = jnp.dot(
+                    xv[:, j0 * part_rows : j0 * part_rows + dot_rows],
+                    w1, preferred_element_type=jnp.float32)
+                scg = sc[g_j][None, :].astype(jnp.float32)
+                acc += d * (scg if coef is None else scg * coef)
         acc_ref[:] += acc
 
         @pl.when(k == nk - 1)
@@ -257,9 +286,14 @@ def _qmm_call(x, qweight, scales_t, zeros_t, bits, group_size,
     offsets_t = -zeros_t * scales_t
     if _pairs_fast_path(layout, gs_rows, bk, bits):  # kernel fast-path cond
         # fold the pairs path's w' = 1 + c/2^b algebra:
-        # sc*(x@c) + xsum*off == (2^b*sc)*(x@w') + xsum*(off - 2^b*sc)
-        offsets_t = offsets_t - scales_t * (2.0 ** bits)
-        scales_t = scales_t * (2.0 ** bits)
+        # sc*(x@c) + xsum*off == (2^b*sc)*(x@w') + xsum*(off - 2^b*sc);
+        # 3-bit keeps raw sc (the kernel applies the 4/8 plane coefs) and
+        # folds the combined -12*sc*xsum correction into off
+        if bits == 3:
+            offsets_t = offsets_t - scales_t * 12.0
+        else:
+            offsets_t = offsets_t - scales_t * (2.0 ** bits)
+            scales_t = scales_t * (2.0 ** bits)
     scales_t = to_slabs(scales_t)
     offsets_t = to_slabs(offsets_t)
 

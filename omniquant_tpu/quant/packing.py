@@ -170,8 +170,9 @@ def _pack_pairs(codes_t: jax.Array, bits: int, tile: int) -> jax.Array:
     i.e. the two halves of a 32-bit word hold a PAIR of codes 16 bits
     apart, which the kernel turns into two bf16 weights with one
     shift+and+or (Mosaic's 32->16 bitcast interleaves sublanes as
-    [lo16, hi16], giving natural row order after a j-major concat)."""
-    assert bits in (2, 4), bits
+    [lo16, hi16], giving natural row order after a j-major concat).
+    bits=1 is the 3-bit layout's hi plane."""
+    assert bits in (1, 2, 4), bits
     k_pad, out_f = codes_t.shape
     vpw = vals_per_word(bits)
     W = tile * bits // 32
@@ -184,7 +185,7 @@ def _pack_pairs(codes_t: jax.Array, bits: int, tile: int) -> jax.Array:
 
 
 def _unpack_pairs(packed: jax.Array, bits: int, tile: int) -> jax.Array:
-    assert bits in (2, 4), bits
+    assert bits in (1, 2, 4), bits
     n_words, out_f = packed.shape
     vpw = vals_per_word(bits)
     W = tile * bits // 32
@@ -214,6 +215,20 @@ def pack_codes(codes: jax.Array, bits: int,
         codes_t = jnp.pad(codes_t, ((0, pad), (0, 0)))
     k_pad = codes_t.shape[0]
     if layout == "pairs":
+        if bits == 3:
+            # 2-bit plane + 1-bit plane per tile, each in pairs form
+            # (code = low2 | hi1 << 2): the kernel runs two injected plane
+            # matmuls per group (x@c = 4(x@w'_l) + 8(x@w'_h) - 12*xsum)
+            n_tiles = k_pad // tile
+            tiles = codes_t.reshape(n_tiles, tile, out_f)
+            low = _pack_pairs(
+                (tiles & 3).reshape(k_pad, out_f), 2, tile
+            ).reshape(n_tiles, tile // 16, out_f)
+            hi = _pack_pairs(
+                (tiles >> 2).reshape(k_pad, out_f), 1, tile
+            ).reshape(n_tiles, tile // 32, out_f)
+            packed = jnp.concatenate([low, hi], axis=1)
+            return packed.reshape(k_pad * 3 // 32, out_f).astype(jnp.int32)
         return _pack_pairs(codes_t, bits, tile).astype(jnp.int32)
     if bits == 3:
         n_tiles = k_pad // tile
@@ -253,6 +268,15 @@ def unpack_codes(packed: jax.Array, bits: int, in_features: int,
     n_words, out_f = packed.shape
     tile = tile_k or pack_tile(bits, group_size, in_features)
     if layout == "pairs":
+        if bits == 3:
+            wpt = tile * 3 // 32
+            tiles = packed.astype(jnp.uint32).reshape(-1, wpt, out_f)
+            low = _unpack_pairs(
+                tiles[:, : tile // 16].reshape(-1, out_f), 2, tile)
+            hi = _unpack_pairs(
+                tiles[:, tile // 16 :].reshape(-1, out_f), 1, tile)
+            vals = low | (hi << 2)
+            return vals[:in_features].astype(jnp.int32)
         vals = _unpack_pairs(packed.astype(jnp.uint32), bits, tile)
         return vals[:in_features].astype(jnp.int32)
     if bits == 3:
@@ -279,10 +303,10 @@ def unpack_codes(packed: jax.Array, bits: int, in_features: int,
 
 
 def default_layout(bits: int, group_size: Optional[int]) -> str:
-    """'pairs' wherever the fast decode path supports it (bits 2/4,
+    """'pairs' wherever the fast decode path supports it (bits 2/3/4,
     per-channel or >=128-row groups — the post-matmul group-scaling
     regime), else 'planar'."""
-    if bits in (2, 4) and (group_size is None or group_size >= 128):
+    if bits in (2, 3, 4) and (group_size is None or group_size >= 128):
         return "pairs"
     return "planar"
 

@@ -273,7 +273,7 @@ def test_engine_w4a4_int_path_matches_eval(tiny_packed_llama=None):
 
 
 @pytest.mark.parametrize("bits,group_size", [
-    (4, 128), (2, 128), (4, None), (2, None),
+    (4, 128), (2, 128), (3, 128), (4, None), (2, None), (3, None),
 ])
 def test_kernel_pairs_layout_matches_reference(bits, group_size):
     """The pairs-layout fast path (bf16 mantissa-injection unpack + folded

@@ -75,7 +75,7 @@ def test_pairs_layout_roundtrip():
     from omniquant_tpu.quant.packing import pack_codes, unpack_codes
 
     rng = np.random.default_rng(3)
-    for bits in (2, 4):
+    for bits in (2, 3, 4):
         codes = jnp.asarray(
             rng.integers(0, 2**bits, (96, 512)), jnp.int32)  # (out, in)
         packed = pack_codes(codes, bits, group_size=128, layout="pairs")
@@ -91,5 +91,5 @@ def test_pairs_layout_default_selection():
     assert default_layout(4, 128) == "pairs"
     assert default_layout(2, None) == "pairs"
     assert default_layout(4, 64) == "planar"   # fine groups: fma path
-    assert default_layout(3, 128) == "planar"  # composite width
+    assert default_layout(3, 128) == "pairs"   # 2+1 plane pairs
     assert default_layout(8, 128) == "planar"  # 8-bit codes overflow bf16

@@ -281,3 +281,48 @@ def test_falcon_alibi_prefill_uses_flash_and_matches():
     logits = jfalcon.forward(
         params, jnp.asarray(np.asarray(prompt, np.int32)[None]), cfg)
     assert first == int(jnp.argmax(logits[0, -1]))
+
+
+def test_auto_grow_matches_large_engine(tiny_llama):
+    """auto_grow doubles the cache mid-generation; tokens must equal an
+    engine built with the big cache from the start (serving beyond the
+    initial bucket ceiling — the growing-KV-cache story)."""
+    cfg, params = tiny_llama
+    prompt = [5, 17, 99, 3]
+    n_new = 40  # prompt 4 + 40 > 16: forces two growths (16->32->64)
+    big = LlamaEngine(params, cfg, max_batch=1, max_len=64,
+                      dtype=jnp.float32)
+    want = big.generate(prompt, max_new_tokens=n_new)
+    small = LlamaEngine(params, cfg, max_batch=1, max_len=16,
+                        dtype=jnp.float32, auto_grow=True)
+    got = small.generate(prompt, max_new_tokens=n_new)
+    assert small.max_len == 64 and got == want, (small.max_len, got, want)
+
+
+def test_auto_grow_int8_kv(tiny_llama):
+    """Growth copies the int8 codes AND the scale planes."""
+    cfg, params = tiny_llama
+    prompt = [5, 17, 99, 3]
+    big = LlamaEngine(params, cfg, max_batch=1, max_len=64,
+                      dtype=jnp.float32, kv_dtype="int8")
+    want = big.generate(prompt, max_new_tokens=24)
+    small = LlamaEngine(params, cfg, max_batch=1, max_len=16,
+                        dtype=jnp.float32, kv_dtype="int8", auto_grow=True)
+    got = small.generate(prompt, max_new_tokens=24)
+    assert got == want, (got, want)
+
+
+def test_auto_grow_long_prompt_and_limit(tiny_llama):
+    """A prompt beyond max_len grows the cache at prefill; the growth cap
+    (cfg.max_position_embeddings) still raises."""
+    cfg, params = tiny_llama  # max_position_embeddings=128
+    eng = LlamaEngine(params, cfg, max_batch=1, max_len=16,
+                      dtype=jnp.float32, auto_grow=True)
+    prompt = list(range(2, 30))  # bucket 32 > 16
+    big = LlamaEngine(params, cfg, max_batch=1, max_len=64,
+                      dtype=jnp.float32)
+    assert eng.generate(prompt, max_new_tokens=4) == big.generate(
+        prompt, max_new_tokens=4)
+    assert eng.max_len == 32
+    with pytest.raises(RuntimeError, match="grow_limit"):
+        eng._grow(4096)

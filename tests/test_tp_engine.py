@@ -147,3 +147,49 @@ def test_tp_falcon_engine_matches_single_packed():
                          dtype=jnp.float32)
     got = eng.generate(PROMPT, max_new_tokens=8)
     assert got == want, (got, want)
+
+
+def test_tp_auto_grow_matches_single(llama_setup):
+    """Cache growth under TP: the head-sharded buffers double and the
+    copied contents keep their sharding; tokens match the single-chip
+    auto-grow engine."""
+    cfg, _, packed = llama_setup
+    prompt = [5, 17, 99, 3]
+    base = LlamaEngine(packed, cfg, max_batch=1, max_len=16,
+                       dtype=jnp.float32, auto_grow=True)
+    want = base.generate(prompt, max_new_tokens=20)
+    mesh = make_mesh(dp=1, tp=2)
+    eng = TPLlamaEngine(packed, cfg, mesh, max_batch=1, max_len=16,
+                        dtype=jnp.float32, auto_grow=True)
+    got = eng.generate(prompt, max_new_tokens=20)
+    assert eng.max_len == 32 and got == want, (eng.max_len, got, want)
+
+
+def test_jaxlm_greedy_until_tp_matches_single():
+    """The user-facing tp>1 serving path: JaxLM(tp_mesh=...) routes
+    engine-backed generation through the tensor-sharded engine."""
+    from omniquant_tpu.eval.harness.base import JaxLM
+
+    class CharTok:
+        vocab_size = 128
+        eos_token_id = 0
+
+        def encode(self, s, add_special_tokens=False):
+            return [min(ord(c), 127) for c in s]
+
+        def decode(self, tokens):
+            return "".join(chr(max(1, t)) for t in tokens)
+
+    cfg = jllama.LlamaConfig(
+        vocab_size=128, hidden_size=256, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=128,
+    )
+    params = jllama.init_params(jax.random.PRNGKey(0), cfg)
+    reqs = [("abcabc", ["\n"]), ("hello wor", ["q"])]
+    lm1 = JaxLM(LLAMA, params, cfg, CharTok(), seqlen=128, batch_size=2)
+    lm2 = JaxLM(LLAMA, params, cfg, CharTok(), seqlen=128, batch_size=2,
+                tp_mesh=make_mesh(dp=1, tp=2))
+    lm1.max_gen_toks = 8
+    lm2.max_gen_toks = 8
+    assert lm1.greedy_until(reqs) == lm2.greedy_until(reqs)
