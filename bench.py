@@ -220,6 +220,23 @@ def main():
         f"{step_bytes / 1e9:.2f} GB/step @ {MEASURED_PEAK_GBPS:.0f} GB/s "
         f"measured peak")
 
+    # int8 KV at the same setting: the quantized KV cache (a BASELINE.json
+    # north-star feature the reference never had) halves the cache half of
+    # the step's traffic — with the kv bucket at 256 the bf16 cache is
+    # 4.3 of the 8.22 GB/step
+    free_buffers(eng.cache)
+    try:
+        ts, sm, _, e2 = decode_tok_s(
+            params, cfg, BATCH, MAX_LEN, kv_dtype="int8",
+            label="w4g128-int8kv")
+        extras["w4_int8kv_tok_s"] = round(ts, 1)
+        im, _ = ideal_step_ms(w_bytes, BATCH, kv_bucket, kv_itemsize=1)
+        extras["w4_int8kv_pct_roofline"] = round(100 * im / sm, 1)
+        free_buffers(e2.cache, e2.params)
+        del e2
+    except Exception as exc:
+        print(f"# w4-int8kv failed: {exc}", file=sys.stderr)
+
     free_buffers(eng.cache, eng.params, params)
     del eng, params
 
@@ -236,7 +253,8 @@ def main():
                 extras[f"{key}_tok_s"] = round(ts, 1)
                 im, _ = ideal_step_ms(wb, BATCH, kv_bucket)
                 extras[f"{key}_pct_roofline"] = round(100 * im / sm, 1)
-                free_buffers(e.cache, e.params)
+                # cache only: e.params SHARES the packed buffers with p
+                free_buffers(e.cache)
                 del e
             ts, sm, _, e = decode_tok_s(
                 p, cfg, 8, MAX_LEN, label=f"w{bits}g128-b8")
