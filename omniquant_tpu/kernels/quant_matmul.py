@@ -351,6 +351,11 @@ def quant_matmul(x: jax.Array, pw: PackedWeight, block_n: int = 2048,
     # carries the global dims (parallel/tp_forward.py's _fix_local_pw does
     # the same for its callers)
     n = pw.qweight.shape[1]
+    # NOTE on large-M (prefill): a dequantize-once + dense-MXU variant was
+    # measured SLOWER end-to-end (6042 vs 6815 tok/s at 8x1024 prefill,
+    # +3.6x compile) — prefill is MXU-bound at ~48% MFU, so the fused
+    # kernel's per-m-tile re-unpack rides under the matmul. Keep the fused
+    # path at every M.
     # fall back to the dense-dequant path when N doesn't tile onto lanes
     if n % 128 != 0:
         return quant_matmul_reference(x, pw).reshape(*orig_shape[:-1], n)

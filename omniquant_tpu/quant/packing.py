@@ -361,19 +361,24 @@ def pack_weight(
 
 def dequantize_packed(pw: PackedWeight, dtype=jnp.float32) -> jax.Array:
     """PackedWeight -> dense W^T (in_features, out) — the jnp reference path
-    the Pallas kernel is validated against bit-for-bit on the int domain."""
+    the Pallas kernel is validated against bit-for-bit on the int domain.
+
+    Geometry comes from the ARRAY shapes where they can disagree with the
+    dataclass aux (inside shard_map the arrays are local shards carrying
+    global metadata — same contract as quant_matmul)."""
+    in_f = min(pw.in_features, rows_per_words(pw.bits, pw.qweight.shape[0]))
     codes = unpack_codes(
-        pw.qweight, pw.bits, pw.in_features, pw.group_size,
+        pw.qweight, pw.bits, in_f, pw.group_size,
         pw.tile_k, pw.layout)  # (in, out)
     out_f = codes.shape[1]
     if pw.group_size:
         # reshape-broadcast per group (a per-row gather compiles/runs
         # pathologically on TPU at size)
-        n_g = pw.in_features // pw.group_size
+        n_g = in_f // pw.group_size
         cg = codes.reshape(n_g, pw.group_size, out_f).astype(jnp.float32)
-        sc = pw.scales.T[:, None, :]  # (G, 1, out)
-        zp = pw.zeros.T[:, None, :]
-        deq = ((cg - zp) * sc).reshape(pw.in_features, out_f)
+        sc = pw.scales.T[:n_g, None, :]  # (G, 1, out)
+        zp = pw.zeros.T[:n_g, None, :]
+        deq = ((cg - zp) * sc).reshape(in_f, out_f)
     else:
         deq = (codes.astype(jnp.float32) - pw.zeros.T) * pw.scales.T
     return deq.astype(dtype)

@@ -323,3 +323,18 @@ def make_packed_layout(bits, group_size, out_f, in_f, seed=0, bias=False,
          if bias else None)
     cfg = QuantConfig(n_bits=bits, group_size=group_size)
     return pack_weight(w, cfg, bias=b, layout=layout)
+
+
+@pytest.mark.parametrize("layout", ["planar", "pairs"])
+def test_kernel_large_m(layout):
+    """Prefill-sized m (multiple 256-row m-tiles) through the fused kernel
+    matches the reference (a dequantize-once dense variant was measured
+    slower on TPU — see quant_matmul's large-M note)."""
+    pw = make_packed_layout(4, 128, out_f=256, in_f=512, seed=31,
+                            layout=layout)
+    rng = np.random.default_rng(32)
+    x = jnp.asarray(rng.standard_normal((1100, 512)).astype(np.float32))
+    got = quant_matmul(x, pw, interpret=True)
+    ref = quant_matmul_reference(x, pw)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-3)
