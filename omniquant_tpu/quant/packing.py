@@ -343,6 +343,10 @@ def pack_weight(
     scales = scale.reshape(out_f, -1).astype(jnp.float32)
     zeros = rzp.reshape(out_f, -1).astype(jnp.float32)
     tile = tile_k or pack_tile(cfg.n_bits, cfg.group_size, in_padded)
+    if cfg.group_size and tile % cfg.group_size:
+        raise ValueError(
+            f"tile_k {tile} must be a multiple of group_size "
+            f"{cfg.group_size} (quant groups must not straddle pack tiles)")
     if layout == "auto":
         layout = default_layout(cfg.n_bits, cfg.group_size)
     return PackedWeight(

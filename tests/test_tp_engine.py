@@ -20,14 +20,14 @@ from omniquant_tpu.serving.tp_engine import (
 PROMPT = [5, 17, 99, 3, 42]
 
 
-def _pack(family, params, cfg, bits=4, gs=32):
+def _pack(family, params, cfg, bits=4, gs=32, tile_k=64):
     wcfg = QuantConfig(n_bits=bits, group_size=gs)
     fq = dict(params)
     fq["layers"] = [
         family.effective_block_weights(b, wcfg, None, None, cfg)
         for b in params["layers"]
     ]
-    return pack_model(family, fq, wcfg, tile_k=64)
+    return pack_model(family, fq, wcfg, tile_k=tile_k)
 
 
 @pytest.fixture(scope="module")
@@ -193,3 +193,21 @@ def test_jaxlm_greedy_until_tp_matches_single():
     lm1.max_gen_toks = 8
     lm2.max_gen_toks = 8
     assert lm1.greedy_until(reqs) == lm2.greedy_until(reqs)
+
+
+def test_tp_packed_w4a4_int_path_matches_single(llama_setup):
+    """Packed weights + W4A4 spec under TP: row linears take the int8-MXU
+    path on replicated inputs; column linears run tp-exact fake-quant +
+    psum. Tokens match the single-chip engine's int path."""
+    from omniquant_tpu.models.common import ActQuantSpec
+
+    cfg, params, _ = llama_setup
+    packed = _pack(LLAMA, params, cfg, gs=128, tile_k=None)
+    spec = ActQuantSpec.from_bits(4)
+    base = LlamaEngine(packed, cfg, max_batch=1, max_len=64,
+                       dtype=jnp.float32, spec=spec)
+    want = base.generate(PROMPT, max_new_tokens=8)
+    eng = TPLlamaEngine(packed, cfg, make_mesh(dp=1, tp=2), max_batch=1,
+                        max_len=64, dtype=jnp.float32, spec=spec)
+    got = eng.generate(PROMPT, max_new_tokens=8)
+    assert got == want, (got, want)
