@@ -51,12 +51,22 @@ _LANES = 128
 _MAX_CHUNK = 1024
 
 
-def _head_group(n_kv: int) -> int:
+def _head_group(n_kv: int, chunk: int = 1024, hd: int = 128) -> int:
     """Heads per grid cell: Mosaic's block rule needs hg % 8 == 0 or
-    hg == n_kv."""
+    hg == n_kv. Prefer the LARGEST group whose k+v chunk blocks fit a
+    ~8 MB VMEM budget — more heads per cell amortizes the per-cell grid
+    overhead that dominates short-window decode (measured: hg 8 -> 32 at
+    kv 256 cut the int8 path's gap to the bf16-XLA path)."""
+    # the grid pipeline DOUBLE-BUFFERS the k/v chunk blocks, so the
+    # single-buffer budget must stay under ~half of the 16 MB scoped VMEM
+    # (hg=32 at chunk 1024 compiled to 16.55 MB and OOM'd)
+    budget = 4 * 1024 * 1024
     if n_kv <= 8 or n_kv % 8 != 0:
         return n_kv
-    return 8
+    hg = n_kv
+    while hg > 8 and (hg % 8 != 0 or 2 * hg * chunk * hd > budget):
+        hg //= 2
+    return hg if hg % 8 == 0 or hg == n_kv else 8
 
 
 def _kernel(len_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref,
@@ -141,7 +151,6 @@ def decode_attention_int8(q, k_codes, k_scale, v_codes, v_scale, lengths,
             q, k_codes, k_scale, v_codes, v_scale, lengths, kv_len,
             score_scale, out_dtype)
     n_rep = n_heads // n_kv
-    hg = _head_group(n_kv)
     # chunk must DIVIDE kv_len or the grid (kv_len // chunk) silently drops
     # the tail (e.g. kv_len=1536, chunk=1024 would attend only 1024
     # positions). Pick the largest 128-multiple divisor <= _MAX_CHUNK.
@@ -150,6 +159,7 @@ def decode_attention_int8(q, k_codes, k_scale, v_codes, v_scale, lengths,
                     if kv_len % c == 0)
     else:
         chunk = kv_len  # interpret-only (compiled path fell back above)
+    hg = _head_group(n_kv, chunk, hd)
 
     q4 = q.reshape(B, n_kv, n_rep, hd)
     grid = (B, n_kv // hg, kv_len // chunk)
