@@ -86,6 +86,16 @@ def build_parser():
                         "only after a whole block went NaN)")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="capture a jax.profiler trace of the run")
+    p.add_argument("--serve_prompt", type=str, default=None,
+                   help="after quantization, generate from this prompt with "
+                        "the continuous-batching serving engine (tensor-"
+                        "sharded when --tp > 1)")
+    p.add_argument("--max_new_tokens", type=int, default=64)
+    p.add_argument("--serve_kv_dtype", type=str, default="native",
+                   choices=["native", "int8"],
+                   help="serving KV-cache dtype (int8 = quantized cache)")
+    p.add_argument("--temperature", type=float, default=0.0,
+                   help="serving sampling temperature (0 = greedy)")
     return p
 
 
@@ -306,6 +316,35 @@ def main(argv=None):
             limit=None if args.limit < 0 else args.limit,
             spec=cc.act_quant_spec, logger=logger)
         results.update(t_results)
+
+    if args.serve_prompt is not None:
+        from omniquant_tpu.serving.engine import (
+            FalconEngine, LlamaEngine, OPTEngine)
+
+        eng_map = {"llama": LlamaEngine, "opt": OPTEngine,
+                   "falcon": FalconEngine}
+        seqlen = min(getattr(model_cfg, "max_position_embeddings", 2048),
+                     2048)
+        if args.tp > 1:
+            from omniquant_tpu.parallel import make_mesh
+            from omniquant_tpu.serving.tp_engine import TP_ENGINES
+
+            eng = TP_ENGINES[family.name](
+                params, model_cfg, make_mesh(dp=1, tp=args.tp),
+                max_batch=1, max_len=seqlen,
+                kv_dtype=args.serve_kv_dtype, auto_grow=False)
+            logger.info(f"serving tensor-sharded over tp={args.tp}")
+        else:
+            eng = eng_map[family.name](
+                params, model_cfg, max_batch=1, max_len=seqlen,
+                kv_dtype=args.serve_kv_dtype, auto_grow=False)
+        toks = tokenizer.encode(args.serve_prompt, add_special_tokens=False)
+        out = eng.generate(list(toks), max_new_tokens=args.max_new_tokens,
+                           temperature=args.temperature)
+        text = tokenizer.decode(out)
+        logger.info(f"generated {len(out)} tokens")
+        results["generation"] = text
+        print(text)
 
     if args.profile_dir:
         jax.profiler.stop_trace()
