@@ -538,7 +538,13 @@ def quant_matmul_int(x: jax.Array, pw: PackedWeight, act_cfg,
     eligible = (
         act_cfg is not None and act_cfg.enabled and not act_cfg.group_size
         and act_cfg.n_bits <= 7 and act_cfg.metric == "minmax"
-        and n % 128 == 0 and pw.bits <= 8)
+        and n % 128 == 0 and pw.bits <= 8
+        # pairs-layout weights: extracting INT codes from the pair words
+        # needs a sublane interleave that costs more than the int8-MXU
+        # saves (measured 489 vs 1333 tok/s at 7B decode); the fake-quant
+        # fallback below uses the fast bf16 injection kernel AND matches
+        # the eval oracle's fake-quant semantics exactly
+        and pw.layout == "planar")
     if not eligible:
         from ..quant.quantizer import fake_quant_act
 
