@@ -64,6 +64,11 @@ def build_parser():
                    help="tensor-parallel degree for evaluation (the "
                         "reference's --multigpu analog, but real TP over a "
                         "device mesh with XLA collectives)")
+    p.add_argument("--sp", type=int, default=1,
+                   help="sequence-parallel degree for calibration at "
+                        "seqlen > 2048: activation buffers shard on the "
+                        "sequence axis and block forwards run ring "
+                        "attention (llama family)")
     p.add_argument("--offload_layers", action="store_true",
                    help="host-stream decoder layers during calibration (one on device at a time)")
     p.add_argument("--bf16_buffers", action="store_true",
@@ -172,9 +177,10 @@ def main(argv=None):
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
-        if args.platform == "cpu" and args.tp > 1:
-            # virtual CPU devices so --tp can be exercised off-TPU
-            jax.config.update("jax_num_cpu_devices", max(args.tp, 1))
+        if args.platform == "cpu" and max(args.tp, args.sp) > 1:
+            # virtual CPU devices so --tp/--sp can be exercised off-TPU
+            jax.config.update(
+                "jax_num_cpu_devices", max(args.tp, args.sp, 1))
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
     if args.num_processes > 1:
@@ -251,9 +257,17 @@ def main(argv=None):
                 save_pytree(f"{args.output_dir}/act_scales.npz", act_scales)
                 save_pytree(f"{args.output_dir}/act_shifts.npz", act_shifts)
 
+        sp_mesh = None
+        if args.sp > 1:
+            from jax.sharding import Mesh
+
+            sp_mesh = Mesh(np.asarray(jax.devices()[: args.sp]), ("sp",))
+            logger.info(
+                f"sequence-parallel calibration over {args.sp} devices "
+                f"(ring attention, seqlen {args.seqlen})")
         params, omni_parameters = calibrate(
             family, params, model_cfg, train_tokens, cc,
-            act_scales, act_shifts, logger=logger)
+            act_scales, act_shifts, logger=logger, sp_mesh=sp_mesh)
         logger.info(f"quantization took {time.time() - tick:.1f}s")
     else:
         omni_parameters = None
