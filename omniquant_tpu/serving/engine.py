@@ -179,6 +179,9 @@ class LlamaEngine:
             ) else x,
             params, is_leaf=lambda x: x is None)
         for p in params["layers"]:
+            if "qkv_fused" in p or "gate_up_fused" in p:
+                continue  # already prepped (a spec-decode draft sharing the
+                # target's layer buffers — refusing keeps them shared)
             qkv = fuse_packed([p["q_proj"], p["k_proj"], p["v_proj"]]) if (
                 isinstance(p.get("q_proj"), PackedWeight)) else None
             if qkv is not None:
@@ -224,6 +227,8 @@ class LlamaEngine:
         self._decode_multi = jax.jit(
             self._decode_multi_impl, donate_argnums=(1,),
             static_argnames=("kv_len", "n_steps", "do_sample"))
+        self._verify = jax.jit(self._verify_impl, donate_argnums=(1,),
+                               static_argnames=("kv_len", "s"))
 
     def _next_key(self):
         key = jax.random.fold_in(self._base_key, self._dispatch)
@@ -534,6 +539,59 @@ class LlamaEngine:
         return cache, self._select(
             logits[:, 0], key, temps, top_ks, top_ps, do_sample)
 
+    def _verify_impl(self, params, cache: KVCache, tokens, lengths,
+                     kv_len: int, s: int):
+        """Score s KNOWN tokens per slot in ONE forward (the speculative-
+        decoding verify pass): tokens (B, s) enter at positions
+        lengths..lengths+s-1, their KV is committed (stale tail entries are
+        overwritten by later writes and never attended — the mask bounds
+        every query at its own position), and the per-position argmax
+        next-tokens (B, s) come back. One pass streams/unpacks the packed
+        weights ONCE for s tokens — vs s times for s sequential decode
+        steps — which is what breaks the decode VPU-unpack/HBM floor when a
+        draft model supplies the tokens (serving/spec_decode.py)."""
+        positions = lengths[:, None] + jnp.arange(s)[None]  # (B, s)
+        x = self._embed(params, tokens, positions)
+        kv_positions = jnp.arange(kv_len)
+        neg = jnp.finfo(self.dtype).min
+        mask = jnp.where(
+            kv_positions[None, None, None, :] <= positions[:, None, :, None],
+            0.0, neg).astype(self.dtype)  # (B, 1, s, kv_len)
+        for li, p in enumerate(params["layers"]):
+            def commit(k, v, _li=li):
+                # k/v (B, n_kv, s, hd): write each position through the RMW
+                # kernel (chained through the aliased buffers)
+                nonlocal cache
+                ck, cv = list(cache.k), list(cache.v)
+                if self.kv_int8:
+                    kc, ks = _quantize_kv(k)
+                    vc, vs = _quantize_kv(v)
+                    cks, cvs = list(cache.k_scale), list(cache.v_scale)
+                    bufs = (cache.k[_li], cache.v[_li],
+                            cache.k_scale[_li], cache.v_scale[_li])
+                    for i in range(s):
+                        bufs = kv_cache_write(
+                            bufs,
+                            (kc[:, :, i], vc[:, :, i],
+                             ks[:, :, i, 0], vs[:, :, i, 0]),
+                            lengths + i)
+                    ck[_li], cv[_li], cks[_li], cvs[_li] = bufs
+                    cache = KVCache(ck, cv, cks, cvs)
+                else:
+                    bufs = (cache.k[_li], cache.v[_li])
+                    for i in range(s):
+                        bufs = kv_cache_write(
+                            bufs,
+                            (k[:, :, i].astype(bufs[0].dtype),
+                             v[:, :, i].astype(bufs[1].dtype)),
+                            lengths + i)
+                    ck[_li], cv[_li] = bufs
+                    cache = KVCache(ck, cv, None, None)
+                return self._read_kv(cache, _li, kv_len)
+            x = self._block(p, x, positions, mask, commit)
+        logits = self._head(params, x)  # (B, s, V)
+        return cache, jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
     def _decode_multi_impl(self, params, cache: KVCache, last_tokens,
                            lengths, key, temps, top_ks, top_ps,
                            kv_len: int, n_steps: int,
@@ -736,6 +794,32 @@ class LlamaEngine:
             self.lengths[s] += n
             res[s] = out[s].tolist()
         return res
+
+    def verify_step(self, tokens: dict) -> dict:
+        """Speculative-decoding verify: tokens {slot: [s tokens]} (same s
+        for every slot) are scored in ONE device pass; their KV is written
+        at positions lengths..lengths+s-1. Does NOT advance `lengths` —
+        the caller advances by however many tokens it accepts (unaccepted
+        cache entries sit beyond `lengths`, are never attended, and are
+        overwritten by later writes). Returns {slot: [s argmax tokens]}
+        where entry i is the model's next-token after tokens[:i+1].
+        Greedy-only (the spec-decode acceptance rule is exact argmax
+        equality)."""
+        s = len(next(iter(tokens.values())))
+        assert all(len(t) == s for t in tokens.values()), "ragged verify"
+        self._check_capacity(tokens, s)
+        toks = np.zeros((self.max_batch, s), np.int32)
+        for sl, ts in tokens.items():
+            toks[sl] = ts
+        longest = int(self.lengths[self.active].max()) if self.active.any() \
+            else 0
+        kv_len = min(self.max_len,
+                     max(64, 1 << int(np.ceil(np.log2(longest + s + 1)))))
+        self.cache, out = self._verify(
+            self.params, self.cache, jnp.asarray(toks),
+            jnp.asarray(self.lengths), kv_len=kv_len, s=s)
+        out = np.asarray(out)
+        return {sl: out[sl].tolist() for sl in tokens}
 
     def generate(self, prompt_tokens, max_new_tokens: int = 32,
                  temperature: float = 0.0, top_k: int = 0,

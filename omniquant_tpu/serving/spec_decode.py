@@ -1,0 +1,184 @@
+"""Speculative decoding for the serving engines (greedy-exact).
+
+Sequential decode streams + unpacks EVERY packed weight once per token;
+measured on one v5e chip that puts a hard floor under the step time
+(~13 ms at 7B for W2/W3/W4 alike at batch 8 — the VPU in-register unpack
+cost is per-CODE, not per-bit, so sub-4-bit schemes can't ride their
+smaller HBM footprint below it). Speculative decoding breaks the floor by
+making ONE weight pass score s tokens:
+
+  1. a cheap DRAFT model proposes `gamma` tokens autoregressively,
+  2. the TARGET scores [last, p_1..p_gamma] in one `verify_step`
+     (engine._verify_impl: one prefill-shaped pass, one weight stream),
+  3. the longest prefix of proposals matching the target's argmaxes is
+     accepted, plus the target's own next token (correction — or bonus
+     token when everything matched).
+
+With greedy acceptance the emitted stream is EXACTLY the target's greedy
+decode (every emitted token is a target argmax given accepted context) —
+tests/test_spec_decode.py asserts token-for-token equality against
+engine.generate. Throughput multiplies by E[accepted + 1] per verify; the
+draft must be cheap and aligned (its quality only affects SPEED, never
+output).
+
+The default draft is LAYER-SKIP self-speculation (arXiv 2309.08168 /
+LayerSkip-style): the target's own first `draft_layers` blocks + its final
+norm + lm_head, sharing the target's (already fused/packed) weight buffers
+— zero extra weight HBM, only a d/L-sized extra KV cache. Any engine with
+the same tokenizer works as a custom draft (e.g. the same checkpoint packed
+at W2 as draft for a W4 target).
+
+Cache-consistency invariant (why no rollback pass exists): both engines
+mask attention at `pos <= lengths`, and every write lands at
+`lengths + i`, so REJECTED positions are simply never attended and get
+overwritten by the next round's writes. Acceptance is just host-side
+`lengths += n_emitted`; the draft's lengths are re-synced from the
+target's every round. The draft drafts gamma+1 steps (one beyond what is
+verified) so its own cache covers position L+gamma when a fully-accepted
+round (+ bonus token) advances the context to L+gamma+1.
+
+Net-new vs the reference: OmniQuant's deployment path (MLC-LLM) has no
+speculative decoding; this composes with every scheme the framework packs
+(W2/W3/W4/W6 x A16/A4) and with the int8 KV cache.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+
+def layer_skip_params(params: dict, n_layers: int) -> dict:
+    """Draft params for layer-skip self-speculation: the first n_layers
+    blocks (SHARED buffers — no copy) with the target's embed/norm/head."""
+    draft = dict(params)
+    draft["layers"] = list(params["layers"][:n_layers])
+    return draft
+
+
+class SpecDecoder:
+    """Greedy speculative decoding over a (target, draft) engine pair.
+
+    target: a serving engine (LlamaEngine/OPTEngine/FalconEngine or their
+        TP variants) — its greedy stream is reproduced exactly.
+    draft: an engine with the same tokenizer/vocab. Default: layer-skip
+        self-draft built from `target` (draft_layers blocks).
+    gamma: proposals per round; each round costs (gamma+1) draft steps +
+        one target verify pass and emits 1..gamma+1 tokens.
+    """
+
+    def __init__(self, target, draft=None, draft_layers: int = 4,
+                 gamma: int = 4):
+        self.target = target
+        self.gamma = gamma
+        if draft is None:
+            d = min(draft_layers, len(target.params["layers"]))
+            # the engine family's TRUE config: TP engines keep the GLOBAL
+            # one at _gcfg (their .cfg is the per-shard local view); OPT /
+            # falcon engines keep a llama-named adapter at .cfg with the
+            # real one at _ocfg/_fcfg
+            base_cfg = getattr(
+                target, "_gcfg",
+                getattr(target, "_fcfg", getattr(target, "_ocfg",
+                                                 target.cfg)))
+            dcfg = _clone_cfg(base_cfg, num_hidden_layers=d)
+            kw = dict(
+                max_batch=target.max_batch, max_len=target.max_len,
+                dtype=target.dtype,
+                kv_dtype="int8" if target.kv_int8 else "native",
+                spec=target.spec, auto_grow=target.auto_grow,
+                grow_limit=target.grow_limit)
+            if hasattr(target, "mesh"):  # TP engines re-place from raw
+                draft = type(target)(
+                    layer_skip_params(target._raw_params, d), dcfg,
+                    target.mesh, **kw)
+            else:
+                draft = type(target)(
+                    layer_skip_params(target.params, d), dcfg, **kw)
+        self.draft = draft
+        # running stats: proposals made / accepted (speed diagnostics)
+        self.proposed = 0
+        self.accepted = 0
+
+    # ------------------------------------------------------------------
+    def add_request(self, tokens, **kw) -> int:
+        """Prefill BOTH engines; returns the (shared) slot id."""
+        slot = self.target.add_request(tokens, **kw)
+        dslot = self.draft.add_request(tokens, **kw)
+        assert dslot == slot, (
+            "target/draft slot allocation diverged — add/release requests "
+            f"through the SpecDecoder only ({slot} vs {dslot})")
+        return slot
+
+    def release(self, slot: int):
+        self.target.release(slot)
+        self.draft.release(slot)
+
+    @property
+    def lengths(self):
+        return self.target.lengths
+
+    def _pending(self, slot: int) -> int:
+        return self.target._pending_next[slot]
+
+    # ------------------------------------------------------------------
+    def spec_step(self, last_tokens: Dict[int, int]) -> Dict[int, List[int]]:
+        """One speculative round for the given slots ({slot: last emitted
+        token}); returns {slot: [emitted tokens]} (1..gamma+1 each, exact
+        greedy continuations of the target)."""
+        g = self.gamma
+        t = self.target
+        assert not any(t.temps[s] > 0 for s in last_tokens), (
+            "speculative decoding is greedy-only (temperature must be 0)")
+        # re-sync the draft to the accepted context (its over-advanced /
+        # rejected tail from the previous round is abandoned in place)
+        for s in last_tokens:
+            self.draft.lengths[s] = t.lengths[s]
+        # draft gamma+1 steps: proposals p_1..p_gamma come from the first
+        # gamma; the extra step writes p_gamma's KV into the draft cache so
+        # a fully-accepted round leaves no hole at L+gamma
+        props = self.draft.step_n(dict(last_tokens), g + 1)
+        ver_in = {s: [last_tokens[s]] + props[s][:g] for s in last_tokens}
+        out = t.verify_step(ver_in)  # {slot: [g+1 argmaxes]}
+        res = {}
+        for s in last_tokens:
+            emitted = []
+            for i in range(g + 1):
+                emitted.append(out[s][i])
+                if i == g or out[s][i] != props[s][i]:
+                    break
+            t.lengths[s] += len(emitted)
+            res[s] = emitted
+            self.proposed += g
+            self.accepted += len(emitted) - 1
+        return res
+
+    def generate(self, prompt_tokens, max_new_tokens: int = 32) -> list:
+        """Greedy generation; token-for-token equal to
+        target.generate(prompt_tokens, max_new_tokens)."""
+        slot = self.add_request(prompt_tokens)
+        out = [self._pending(slot)]
+        while len(out) < max_new_tokens:
+            emitted = self.spec_step({slot: out[-1]})[slot]
+            out.extend(emitted)
+        self.release(slot)
+        return out[:max_new_tokens]
+
+    @property
+    def acceptance_rate(self) -> float:
+        return self.accepted / self.proposed if self.proposed else 0.0
+
+
+def _clone_cfg(cfg, **overrides):
+    """Engine configs may be dataclasses or ad-hoc adapter objects; clone
+    structurally either way."""
+    import dataclasses
+
+    if dataclasses.is_dataclass(cfg):
+        return dataclasses.replace(cfg, **overrides)
+
+    class _Cfg:
+        pass
+
+    c = _Cfg()
+    c.__dict__.update(cfg.__dict__)
+    c.__dict__.update(overrides)
+    return c

@@ -269,6 +269,7 @@ class _TPMixin:
         self._prefill_multi = wrap(self._prefill_multi_impl)
         self._decode = wrap(self._decode_impl)
         self._decode_multi = wrap(self._decode_multi_impl)
+        self._verify = wrap(self._verify_impl)
 
     # -- TP-exact activation quantization over a feature-sharded axis ------
     def _tp_act_quant(self, x, qcfg):
@@ -323,6 +324,7 @@ class TPLlamaEngine(_TPMixin, LlamaEngine):
         self.mesh, self.tp = mesh, tp
         self._gcfg = cfg
         dtype = kw.get("dtype", jnp.bfloat16)
+        self._raw_params = params  # spec-decode drafts re-place from raw
         self._placed, self._pspecs, inter_pad = place_params(
             params, cfg, mesh, "llama", dtype)
         self._cache_nkv = cfg.num_key_value_heads
@@ -365,6 +367,7 @@ class TPOPTEngine(_TPMixin, OPTEngine):
         self._gcfg = cfg
         self._ocfg = cfg
         dtype = kw.get("dtype", jnp.bfloat16)
+        self._raw_params = params
         self._placed, self._pspecs, _ = place_params(
             params, cfg, mesh, "opt", dtype)
         self._cache_nkv = cfg.num_attention_heads
@@ -437,6 +440,7 @@ class TPFalconEngine(_TPMixin, FalconEngine):
         self.mesh, self.tp = mesh, tp
         self._gcfg = cfg
         dtype = kw.get("dtype", jnp.bfloat16)
+        self._raw_params = params
         self._placed, self._pspecs, _ = place_params(
             params, cfg, mesh, "falcon", dtype)
         nh_l = cfg.num_attention_heads // tp

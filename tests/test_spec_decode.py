@@ -1,0 +1,186 @@
+"""Speculative decoding: the greedy stream must be EXACTLY the target
+engine's greedy stream, for any draft (the draft only affects speed).
+Covers: layer-skip self-draft, a custom (W2-packed) draft over a W4
+target, int8 KV caches, OPT family, multi-slot batching with divergent
+per-slot acceptance, the verify_step contract itself, and the TP engine."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from omniquant_tpu.models import LLAMA
+from omniquant_tpu.models import llama as jllama
+from omniquant_tpu.quant import QuantConfig
+from omniquant_tpu.serving.engine import LlamaEngine
+from omniquant_tpu.serving.export import pack_model
+from omniquant_tpu.serving.spec_decode import SpecDecoder, layer_skip_params
+
+
+@pytest.fixture(scope="module")
+def tiny_llama():
+    cfg = jllama.LlamaConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256,
+    )
+    params = jllama.init_params(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def test_verify_step_matches_sequential_decode(tiny_llama):
+    """verify_step on tokens the engine itself just generated must (a)
+    return those same tokens as its argmaxes shifted by one, and (b)
+    leave the engine in a state equivalent to having decoded them."""
+    cfg, params = tiny_llama
+    eng = LlamaEngine(params, cfg, max_batch=2, max_len=64, dtype=jnp.float32)
+    prompt = [5, 17, 99, 3]
+    ref = eng.generate(prompt, max_new_tokens=9)  # greedy chain
+
+    slot = eng.add_request(prompt)
+    first = eng._pending_next[slot]
+    assert first == ref[0]
+    # verify the engine's own continuation: all argmaxes must reproduce it
+    out = eng.verify_step({slot: ref[:8]})
+    assert out[slot] == ref[1:9]
+    # accept all 8 and keep decoding — the stream must continue the chain
+    eng.lengths[slot] += 8
+    nxt = eng.step({slot: ref[8]})[slot]
+    ref_long = LlamaEngine(params, cfg, max_batch=1, max_len=64,
+                           dtype=jnp.float32).generate(
+        prompt, max_new_tokens=10)
+    assert nxt == ref_long[9]
+
+
+def test_verify_step_unaccepted_tail_is_harmless(tiny_llama):
+    """Rejected verify positions (written to cache but never accepted)
+    must not affect later decoding."""
+    cfg, params = tiny_llama
+    eng = LlamaEngine(params, cfg, max_batch=1, max_len=64, dtype=jnp.float32)
+    prompt = [9, 4, 88]
+    ref = eng.generate(prompt, max_new_tokens=6)
+
+    slot = eng.add_request(prompt)
+    # verify garbage tokens — cache positions L..L+3 get junk KV
+    eng.verify_step({slot: [1, 2, 3, 4]})
+    # lengths unchanged; decode the true continuation as if nothing happened
+    got = [eng._pending_next[slot]]
+    for _ in range(5):
+        got.append(eng.step({slot: got[-1]})[slot])
+    assert got == ref
+
+
+@pytest.mark.parametrize("kv", ["native", "int8"])
+@pytest.mark.parametrize("gamma", [1, 3, 5])
+def test_layer_skip_spec_equals_greedy(tiny_llama, kv, gamma):
+    cfg, params = tiny_llama
+    eng = LlamaEngine(params, cfg, max_batch=2, max_len=128,
+                      dtype=jnp.float32, kv_dtype=kv)
+    prompt = [5, 17, 99, 3, 42]
+    ref = eng.generate(prompt, max_new_tokens=16)
+    sd = SpecDecoder(eng, draft_layers=1, gamma=gamma)
+    got = sd.generate(prompt, max_new_tokens=16)
+    assert got == ref
+    assert sd.proposed > 0
+
+
+def test_self_draft_full_acceptance(tiny_llama):
+    """Draft == target (all layers) must accept every proposal and emit
+    gamma+1 tokens per round (the bonus-token path + the draft-cache
+    coverage invariant at full acceptance)."""
+    cfg, params = tiny_llama
+    eng = LlamaEngine(params, cfg, max_batch=2, max_len=128,
+                      dtype=jnp.float32)
+    ref = eng.generate([7, 30, 2], max_new_tokens=13)
+    sd = SpecDecoder(eng, draft_layers=cfg.num_hidden_layers, gamma=3)
+    got = sd.generate([7, 30, 2], max_new_tokens=13)
+    assert got == ref
+    assert sd.acceptance_rate == 1.0
+
+
+def test_packed_w2_draft_for_w4_target(tiny_llama):
+    """A coarser quantization of the same checkpoint as draft: W2-packed
+    draft proposes for the W4-packed target — output must equal the W4
+    engine's greedy stream regardless of the W2 model's quality."""
+    cfg, params = tiny_llama
+    def packed(bits):
+        wcfg = QuantConfig(n_bits=bits, group_size=16)
+        fq = dict(params)
+        fq["layers"] = [
+            LLAMA.effective_block_weights(b, wcfg, None, None, cfg)
+            for b in params["layers"]
+        ]
+        return pack_model(LLAMA, fq, wcfg, tile_k=16)
+
+    t_eng = LlamaEngine(packed(4), cfg, max_batch=2, max_len=128,
+                        dtype=jnp.float32)
+    d_eng = LlamaEngine(packed(2), cfg, max_batch=2, max_len=128,
+                        dtype=jnp.float32)
+    prompt = [11, 63, 2, 9]
+    ref = t_eng.generate(prompt, max_new_tokens=12)
+    sd = SpecDecoder(t_eng, draft=d_eng, gamma=3)
+    got = sd.generate(prompt, max_new_tokens=12)
+    assert got == ref
+
+
+def test_multi_slot_divergent_acceptance(tiny_llama):
+    """Slots in one spec_step accept different counts; every slot's stream
+    must match its own single-slot greedy reference."""
+    cfg, params = tiny_llama
+    eng = LlamaEngine(params, cfg, max_batch=4, max_len=128,
+                      dtype=jnp.float32)
+    prompts = [[5, 17, 99], [3, 42, 7, 1], [88, 2]]
+    refs = [eng.generate(p, max_new_tokens=12) for p in prompts]
+
+    sd = SpecDecoder(eng, draft_layers=1, gamma=3)
+    slots = [sd.add_request(p) for p in prompts]
+    outs = {s: [sd._pending(s)] for s in slots}
+    while any(len(outs[s]) < 12 for s in slots):
+        live = {s: outs[s][-1] for s in slots if len(outs[s]) < 12}
+        res = sd.spec_step(live)
+        for s, toks in res.items():
+            outs[s].extend(toks)
+    for s, ref in zip(slots, refs):
+        assert outs[s][:12] == ref
+
+
+def test_opt_family_spec_decode():
+    from omniquant_tpu.models import opt as jopt
+    from omniquant_tpu.serving.engine import OPTEngine
+
+    cfg = jopt.OPTConfig(
+        vocab_size=128, hidden_size=32, ffn_dim=64, num_hidden_layers=3,
+        num_attention_heads=4, max_position_embeddings=128,
+    )
+    params = jopt.init_params(jax.random.PRNGKey(1), cfg)
+    eng = OPTEngine(params, cfg, max_batch=2, max_len=64, dtype=jnp.float32)
+    prompt = [5, 17, 9]
+    ref = eng.generate(prompt, max_new_tokens=10)
+    sd = SpecDecoder(eng, draft_layers=1, gamma=2)
+    got = sd.generate(prompt, max_new_tokens=10)
+    assert got == ref
+
+
+def test_tp_engine_spec_decode(tiny_llama):
+    """Spec decoding over the tensor-parallel engine (tp=2): layer-skip
+    draft re-placed from raw params, streams equal the TP engine's own."""
+    from omniquant_tpu.parallel import make_mesh
+    from omniquant_tpu.serving.tp_engine import TPLlamaEngine
+
+    cfg, params = tiny_llama
+    wcfg = QuantConfig(n_bits=4, group_size=16)
+    fq = dict(params)
+    fq["layers"] = [
+        LLAMA.effective_block_weights(b, wcfg, None, None, cfg)
+        for b in params["layers"]
+    ]
+    packed = pack_model(LLAMA, fq, wcfg, tile_k=16)
+    mesh = make_mesh(dp=1, tp=2)
+    eng = TPLlamaEngine(packed, cfg, mesh, max_batch=2, max_len=64,
+                        dtype=jnp.float32)
+    prompt = [5, 17, 99, 3]
+    ref = eng.generate(prompt, max_new_tokens=10)
+    eng2 = TPLlamaEngine(packed, cfg, mesh, max_batch=2, max_len=64,
+                         dtype=jnp.float32)
+    sd = SpecDecoder(eng2, draft_layers=1, gamma=2)
+    got = sd.generate(prompt, max_new_tokens=10)
+    assert got == ref
