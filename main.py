@@ -101,6 +101,13 @@ def build_parser():
                    help="serving KV-cache dtype (int8 = quantized cache)")
     p.add_argument("--temperature", type=float, default=0.0,
                    help="serving sampling temperature (0 = greedy)")
+    p.add_argument("--spec_decode", type=int, default=0, metavar="GAMMA",
+                   help="speculative decoding with GAMMA proposals per "
+                        "round (greedy only; layer-skip self-draft of "
+                        "--draft_layers blocks — output is exactly the "
+                        "plain greedy stream, only faster)")
+    p.add_argument("--draft_layers", type=int, default=4,
+                   help="blocks in the layer-skip self-draft")
     return p
 
 
@@ -353,8 +360,21 @@ def main(argv=None):
                 params, model_cfg, max_batch=1, max_len=seqlen,
                 kv_dtype=args.serve_kv_dtype, auto_grow=False)
         toks = tokenizer.encode(args.serve_prompt, add_special_tokens=False)
-        out = eng.generate(list(toks), max_new_tokens=args.max_new_tokens,
-                           temperature=args.temperature)
+        if args.spec_decode > 0:
+            from omniquant_tpu.serving.spec_decode import SpecDecoder
+
+            assert args.temperature <= 0, "--spec_decode is greedy-only"
+            sd = SpecDecoder(eng, draft_layers=args.draft_layers,
+                             gamma=args.spec_decode)
+            out = sd.generate(list(toks),
+                              max_new_tokens=args.max_new_tokens)
+            logger.info(
+                f"spec-decode acceptance {sd.acceptance_rate:.2f} "
+                f"({sd.accepted}/{sd.proposed})")
+        else:
+            out = eng.generate(list(toks),
+                               max_new_tokens=args.max_new_tokens,
+                               temperature=args.temperature)
         text = tokenizer.decode(out)
         logger.info(f"generated {len(out)} tokens")
         results["generation"] = text

@@ -45,6 +45,10 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional
 
+import jax
+import jax.numpy as jnp
+import numpy as np
+
 
 def layer_skip_params(params: dict, n_layers: int) -> dict:
     """Draft params for layer-skip self-speculation: the first n_layers
@@ -97,6 +101,7 @@ class SpecDecoder:
         # running stats: proposals made / accepted (speed diagnostics)
         self.proposed = 0
         self.accepted = 0
+        self._round_fns = {}  # (g, r, kv_len) -> fused-round program
 
     # ------------------------------------------------------------------
     def add_request(self, tokens, **kw) -> int:
@@ -151,13 +156,112 @@ class SpecDecoder:
             self.accepted += len(emitted) - 1
         return res
 
-    def generate(self, prompt_tokens, max_new_tokens: int = 32) -> list:
+    # ------------------------------------------------------------------
+    # fused rounds: draft loop + verify + acceptance in ONE device dispatch
+    def _build_round(self, g: int, r: int, kv_len: int):
+        """Compile r whole speculative rounds into one program: per round,
+        g+1 draft decode steps, one target verify pass over [last, p_1..
+        p_g], the accepted-prefix count via a cumulative product of
+        argmax-equality, and the device-side length/last-token advance.
+        The host link carries (B,) tokens in, (r, B, g+1) tokens + (r, B)
+        counts out — per-dispatch latency amortizes over up to r*(g+1)
+        tokens (the same reason step_n exists)."""
+        t, d = self.target, self.draft
+        B = t.max_batch
+
+        def round_impl(tparams, dparams, tcache, dcache, last, lengths,
+                       key):
+            zf = jnp.zeros((B,), jnp.float32)
+            zi = jnp.zeros((B,), jnp.int32)
+            of = jnp.ones((B,), jnp.float32)
+            outs, n_emits = [], []
+            for rd in range(r):
+                dlens, toks, props = lengths, last, []
+                for i in range(g + 1):
+                    dcache, toks = d._decode_impl(
+                        dparams, dcache, toks, dlens,
+                        jax.random.fold_in(key, rd * (g + 2) + i),
+                        zf, zi, of, kv_len=kv_len, do_sample=False)
+                    dlens = dlens + 1
+                    props.append(toks)
+                props_t = jnp.stack(props[:g], axis=1)          # (B, g)
+                ver = jnp.concatenate([last[:, None], props_t], axis=1)
+                tcache, out = t._verify_impl(
+                    tparams, tcache, ver, lengths, kv_len=kv_len, s=g + 1)
+                match = (out[:, :g] == props_t).astype(jnp.int32)
+                n_emit = 1 + jnp.sum(jnp.cumprod(match, axis=1), axis=1)
+                last = jnp.take_along_axis(
+                    out, (n_emit - 1)[:, None], axis=1)[:, 0]
+                lengths = lengths + n_emit
+                outs.append(out)
+                n_emits.append(n_emit)
+            return tcache, dcache, jnp.stack(outs), jnp.stack(n_emits)
+
+        return jax.jit(round_impl, donate_argnums=(2, 3))
+
+    def spec_steps(self, last_tokens: Dict[int, int],
+                   rounds: int = 4) -> Dict[int, List[int]]:
+        """`rounds` speculative rounds in ONE device dispatch (the fused
+        analog of engine.step_n — on dispatch-latency-bound links the
+        2-dispatch spec_step pays ~2 round trips per <= gamma+1 tokens,
+        which eats the verify amortization). Greedy; emitted streams are
+        exactly the target's. Falls back to per-round spec_step for TP
+        engines (their impls are shard_map-wrapped individually)."""
+        if hasattr(self.target, "mesh"):
+            res = {s: [] for s in last_tokens}
+            live = dict(last_tokens)
+            for _ in range(rounds):
+                out = self.spec_step(live)
+                for s, toks in out.items():
+                    res[s].extend(toks)
+                    live[s] = toks[-1]
+            return res
+        g, t = self.gamma, self.target
+        assert not any(t.temps[s] > 0 for s in last_tokens), (
+            "speculative decoding is greedy-only (temperature must be 0)")
+        need = rounds * (g + 1)
+        t._check_capacity(last_tokens, need)
+        self.draft._check_capacity(last_tokens, need)
+        for s in last_tokens:
+            self.draft.lengths[s] = t.lengths[s]
+        B = t.max_batch
+        toks = np.zeros(B, np.int32)
+        for s, v in last_tokens.items():
+            toks[s] = v
+        longest = int(t.lengths[t.active].max()) if t.active.any() else 0
+        kv_len = min(t.max_len,
+                     max(64, 1 << int(np.ceil(np.log2(longest + need + 1)))))
+        fn_key = (g, rounds, kv_len)
+        if fn_key not in self._round_fns:
+            self._round_fns[fn_key] = self._build_round(g, rounds, kv_len)
+        t.cache, self.draft.cache, outs, n_emits = self._round_fns[fn_key](
+            t.params, self.draft.params, t.cache, self.draft.cache,
+            jnp.asarray(toks), jnp.asarray(t.lengths), t._next_key())
+        outs = np.asarray(outs)          # (r, B, g+1)
+        n_emits = np.asarray(n_emits)    # (r, B)
+        res = {s: [] for s in last_tokens}
+        for rd in range(rounds):
+            for s in last_tokens:
+                n = int(n_emits[rd, s])
+                res[s].extend(outs[rd, s, :n].tolist())
+                t.lengths[s] += n
+                self.proposed += g
+                self.accepted += n - 1
+        for s in last_tokens:
+            self.draft.lengths[s] = t.lengths[s]
+        return res
+
+    def generate(self, prompt_tokens, max_new_tokens: int = 32,
+                 rounds_per_dispatch: int = 4) -> list:
         """Greedy generation; token-for-token equal to
         target.generate(prompt_tokens, max_new_tokens)."""
         slot = self.add_request(prompt_tokens)
         out = [self._pending(slot)]
         while len(out) < max_new_tokens:
-            emitted = self.spec_step({slot: out[-1]})[slot]
+            room = max_new_tokens - len(out)
+            r = max(1, min(rounds_per_dispatch,
+                           -(-room // (self.gamma + 1))))
+            emitted = self.spec_steps({slot: out[-1]}, rounds=r)[slot]
             out.extend(emitted)
         self.release(slot)
         return out[:max_new_tokens]
