@@ -363,7 +363,10 @@ def main(argv=None):
         if args.spec_decode > 0:
             from omniquant_tpu.serving.spec_decode import SpecDecoder
 
-            assert args.temperature <= 0, "--spec_decode is greedy-only"
+            if args.temperature > 0:
+                raise ValueError(
+                    "--spec_decode is greedy-only; drop --temperature or "
+                    "serve without speculative decoding")
             sd = SpecDecoder(eng, draft_layers=args.draft_layers,
                              gamma=args.spec_decode)
             out = sd.generate(list(toks),

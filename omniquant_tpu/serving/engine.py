@@ -698,13 +698,22 @@ class LlamaEngine:
         the kv_update RMW kernel's dynamic-slice base gets CLAMPED by Mosaic
         at pos == max_len, silently overwriting the live row at max_len-8
         (corrupting attended history) instead of dropping the write the way
-        the old XLA scatter did. With auto_grow the cache doubles instead."""
+        the old XLA scatter did. With auto_grow the cache doubles instead.
+
+        Checked for ALL active slots, not just the requested ones:
+        _decode_impl/_verify_impl write n KV rows at lengths+i for EVERY
+        batch slot, so an active bystander slot within n of max_len would
+        get clamped writes corrupting its attended history even though it
+        was not in this step's request dict."""
+        check = set(int(s) for s in np.nonzero(self.active)[0])
+        check.update(int(s) for s in slots)
         need = max(
-            (int(self.lengths[s]) + n for s in slots), default=0)
+            (int(self.lengths[s]) + n for s in check), default=0)
         if need <= self.max_len:
             return
         if not self.auto_grow:
-            over = [s for s in slots if self.lengths[s] + n > self.max_len]
+            over = [s for s in sorted(check)
+                    if self.lengths[s] + n > self.max_len]
             raise RuntimeError(
                 f"slots {over} would exceed max_len={self.max_len} after "
                 f"{n} step(s) (lengths {[int(self.lengths[s]) for s in over]});"
@@ -806,7 +815,10 @@ class LlamaEngine:
         Greedy-only (the spec-decode acceptance rule is exact argmax
         equality)."""
         s = len(next(iter(tokens.values())))
-        assert all(len(t) == s for t in tokens.values()), "ragged verify"
+        if not all(len(t) == s for t in tokens.values()):
+            raise ValueError(
+                "verify_step requires the same number of tokens per slot "
+                f"(got lengths {sorted(set(len(t) for t in tokens.values()))})")
         self._check_capacity(tokens, s)
         toks = np.zeros((self.max_batch, s), np.int32)
         for sl, ts in tokens.items():

@@ -124,6 +124,14 @@ class SpecDecoder:
     def _pending(self, slot: int) -> int:
         return self.target._pending_next[slot]
 
+    def _require_greedy(self, last_tokens):
+        t = self.target
+        if any(t.temps[s] > 0 for s in last_tokens):
+            raise ValueError(
+                "speculative decoding is greedy-only (the acceptance rule "
+                "is exact argmax equality); request temperature=0 or decode "
+                "these slots through engine.step/step_n instead")
+
     # ------------------------------------------------------------------
     def spec_step(self, last_tokens: Dict[int, int]) -> Dict[int, List[int]]:
         """One speculative round for the given slots ({slot: last emitted
@@ -131,8 +139,7 @@ class SpecDecoder:
         greedy continuations of the target)."""
         g = self.gamma
         t = self.target
-        assert not any(t.temps[s] > 0 for s in last_tokens), (
-            "speculative decoding is greedy-only (temperature must be 0)")
+        self._require_greedy(last_tokens)
         # re-sync the draft to the accepted context (its over-advanced /
         # rejected tail from the previous round is abandoned in place)
         for s in last_tokens:
@@ -217,8 +224,7 @@ class SpecDecoder:
                     live[s] = toks[-1]
             return res
         g, t = self.gamma, self.target
-        assert not any(t.temps[s] > 0 for s in last_tokens), (
-            "speculative decoding is greedy-only (temperature must be 0)")
+        self._require_greedy(last_tokens)
         need = rounds * (g + 1)
         t._check_capacity(last_tokens, need)
         self.draft._check_capacity(last_tokens, need)
@@ -261,6 +267,21 @@ class SpecDecoder:
             room = max_new_tokens - len(out)
             r = max(1, min(rounds_per_dispatch,
                            -(-room // (self.gamma + 1))))
+            if not self.target.auto_grow:
+                # spec_steps needs worst-case rounds*(gamma+1) rows of KV
+                # headroom (every round may emit gamma+1 tokens); near the
+                # max_len ceiling shrink the dispatch, and once a single
+                # round no longer fits finish with plain sequential steps
+                # (which need only 1 row) instead of raising where
+                # engine.generate would have completed
+                head = self.target.max_len - int(self.target.lengths[slot])
+                r_fit = head // (self.gamma + 1)
+                if r_fit == 0:
+                    res = self.target.step({slot: out[-1]})
+                    self.draft.lengths[slot] = self.target.lengths[slot]
+                    out.append(res[slot])
+                    continue
+                r = min(r, r_fit)
             emitted = self.spec_steps({slot: out[-1]}, rounds=r)[slot]
             out.extend(emitted)
         self.release(slot)

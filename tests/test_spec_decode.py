@@ -160,6 +160,63 @@ def test_opt_family_spec_decode():
     assert got == ref
 
 
+@pytest.mark.parametrize("kw", [
+    dict(multi_query=True, parallel_attn=True),                # falcon-7b
+    dict(multi_query=False, parallel_attn=False, alibi=True),  # rw-1b
+])
+def test_falcon_family_spec_decode(kw):
+    """Falcon verify path: the (B,1,s,kv_len) verify mask against the
+    ALiBi bias broadcast and the MQA kv-head layout (ADVICE r3 #4)."""
+    from omniquant_tpu.models import falcon as jfalcon
+    from omniquant_tpu.serving.engine import FalconEngine
+
+    cfg = jfalcon.FalconConfig(
+        vocab_size=128, hidden_size=32, num_hidden_layers=3,
+        num_attention_heads=4, bias=False, **{"alibi": False, **kw})
+    params = jfalcon.init_params(jax.random.PRNGKey(4), cfg)
+    eng = FalconEngine(params, cfg, max_batch=2, max_len=64,
+                       dtype=jnp.float32)
+    prompt = [5, 17, 99, 3]
+    ref = eng.generate(prompt, max_new_tokens=10)
+    sd = SpecDecoder(eng, draft_layers=1, gamma=2)
+    got = sd.generate(prompt, max_new_tokens=10)
+    assert got == ref
+    assert sd.proposed > 0
+
+
+def test_spec_generate_near_max_len_falls_back(tiny_llama):
+    """With auto_grow off, SpecDecoder.generate near the max_len ceiling
+    must shrink/abandon spec rounds (which need gamma+1 headroom each) and
+    still complete exactly like engine.generate (ADVICE r3 #2)."""
+    cfg, params = tiny_llama
+    prompt = [5, 17, 99, 3]
+    # max_len 16: prompt 4 + 12 new tokens exactly fills the cache; a
+    # worst-case spec dispatch (4 rounds x gamma+1=3) would need 12 rows
+    # of headroom and raise without the fallback
+    ref = LlamaEngine(params, cfg, max_batch=2, max_len=16,
+                      dtype=jnp.float32,
+                      auto_grow=False).generate(prompt, max_new_tokens=12)
+    eng = LlamaEngine(params, cfg, max_batch=2, max_len=16,
+                      dtype=jnp.float32, auto_grow=False)
+    sd = SpecDecoder(eng, draft_layers=1, gamma=2)
+    got = sd.generate(prompt, max_new_tokens=12)
+    assert got == ref
+
+
+def test_bystander_slot_capacity_guard(tiny_llama):
+    """_check_capacity covers ACTIVE bystander slots: decode writes KV for
+    every batch slot, so stepping slot A while active slot B sits at
+    max_len-1 must raise (not silently corrupt B) (ADVICE r3 #1)."""
+    cfg, params = tiny_llama
+    eng = LlamaEngine(params, cfg, max_batch=2, max_len=16,
+                      dtype=jnp.float32, auto_grow=False)
+    a = eng.add_request([5, 17, 99, 3])
+    b = eng.add_request([1, 2, 3])
+    eng.lengths[b] = 15  # bystander one row below the ceiling
+    with pytest.raises(RuntimeError, match="max_len"):
+        eng.step_n({a: 7}, 4)
+
+
 def test_tp_engine_spec_decode(tiny_llama):
     """Spec decoding over the tensor-parallel engine (tp=2): layer-skip
     draft re-placed from raw params, streams equal the TP engine's own."""
