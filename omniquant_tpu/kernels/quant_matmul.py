@@ -44,15 +44,16 @@ def _unpack_planar_tile(u, bits: int):
 
 
 def _unpack_tile(qw, bits: int, bk: int, layout: str = "planar"):
-    """Packed tile words -> (bk, bn) int32 codes. 3-bit recombines its
-    2-bit and 1-bit planes (code = low | hi << 2); 6-bit its 4-bit and
-    2-bit planes (code = low | hi << 4)."""
+    """Packed tile words -> (bk, bn) int32 codes. Planar 3-bit recombines
+    its 2-bit and 1-bit planes (code = low | hi << 2); 6-bit its 4-bit and
+    2-bit planes (code = low | hi << 4); pairs 3-bit extracts the 5
+    contiguous code pairs per word directly."""
     u = pltpu.bitcast(qw, jnp.uint32)
     if layout == "pairs":
         def pairs_plane(up, b):
             mask = jnp.uint32(2**b - 1)
             parts = []
-            for j in range((32 // b) // 2):
+            for j in range((16 // b)):
                 lo = ((up >> jnp.uint32(b * j)) & mask).astype(jnp.int32)
                 hi = ((up >> jnp.uint32(b * j + 16)) & mask).astype(
                     jnp.int32)
@@ -61,10 +62,6 @@ def _unpack_tile(qw, bits: int, bk: int, layout: str = "planar"):
                     2 * lo.shape[0], lo.shape[1]))
             return jnp.concatenate(parts, axis=0)
 
-        if bits == 3:
-            low = pairs_plane(u[: bk // 16], 2)
-            hi = pairs_plane(u[bk // 16 :], 1)
-            return low | (hi << 2)
         return pairs_plane(u, bits)
     if bits == 3:
         low = _unpack_planar_tile(u[: bk // 16], 2)
@@ -77,53 +74,32 @@ def _unpack_tile(qw, bits: int, bk: int, layout: str = "planar"):
     return _unpack_planar_tile(u, bits)
 
 
-def _unpack_pairs_w1(qw, bits: int):
-    """PAIRS-layout tile words -> (bk, bn) bf16 w' = 1 + c/2^bits, ONE
-    shift+and+or per code PAIR: the two 16-bit halves of each 32-bit lane
-    hold codes 16 bits apart; masking them into the mantissa of a bf16
-    pair (0x3F80 | c << (7-b), both halves at once) and bitcasting 32->16
-    yields two weight rows per op. The 2^bits factor and the '-1' fold
-    into the scale slabs host-side (quant_matmul), so the kernel's dequant
-    epilogue is unchanged. This halves the VPU unpack cost that bounds
-    decode GEMMs (measured: unpack-only == full kernel time at M=32)."""
-    u = pltpu.bitcast(qw, jnp.uint32)
-    vpw = vals_per_word(bits)
-    sh = 7 - bits  # mantissa position of the code
-    mask2 = jnp.uint32(((2**bits - 1) << sh) * 0x00010001)
-    one2 = jnp.uint32(0x3F803F80)
-    parts = []
-    for j in range(vpw // 2):
-        s = bits * j - sh
-        t = (u >> jnp.uint32(s)) if s >= 0 else (u << jnp.uint32(-s))
-        parts.append(pltpu.bitcast((t & mask2) | one2, jnp.bfloat16))
-    return jnp.concatenate(parts, axis=0)  # (bk, bn), natural row order
-
-
-
-def _pairs_planes(bits: int):
-    """(plane_bits, dot_coefficient) per injected plane. Power-of-2 widths
-    are one plane whose 2^b factor folds into the scale slabs (coef None);
-    3-bit runs its 2-bit and 1-bit planes with explicit coefficients
-    (x@c = 4*(x@w'_low) + 8*(x@w'_hi) - 12*xsum, the -12 folded into off)."""
-    if bits == 3:
-        return [(2, 4.0), (1, 8.0)]
-    return [(bits, None)]
+def _pairs_part_rows(bk: int, bits: int) -> int:
+    """Natural rows per injected part (= 2 words' worth of code pairs):
+    2 * (bk / vpw), with the pairs 3-bit layout at vpw=10."""
+    vpw = 2 * (16 // bits)
+    assert bk % vpw == 0, (bk, bits)
+    return 2 * (bk // vpw)
 
 
 def _pairs_fast_path(layout: str, gs_rows: int, bk: int, bits: int) -> bool:
     """Whether the pairs bf16-injection fast path applies: every injected
-    part (bk*plane_bits/16 rows) and every merged dot (ppd parts, ~128
-    rows) must lie inside a single quant group so the per-group scaling
-    stays exact."""
+    part (2*bk/vpw rows) and every merged dot (ppd parts, ~128 rows) must
+    lie inside a single quant group so the per-group scaling stays exact.
+    All of bits 2/3/4 are a SINGLE injected pass — 3-bit codes are stored
+    contiguously at 3.2 effective bits (quant/packing.py), so its 2^3
+    factor folds into the scale slabs like the power-of-two widths."""
     if layout != "pairs" or gs_rows < 128 or bits not in (2, 3, 4):
         return False
-    for b, _ in _pairs_planes(bits):
-        part_rows = bk * b // 16
-        if part_rows > gs_rows or gs_rows % part_rows != 0:
-            return False
-        ppd = max(1, 128 // part_rows)
-        if gs_rows % (part_rows * ppd) != 0:
-            return False
+    vpw = 2 * (16 // bits)
+    if bk % vpw:
+        return False
+    part_rows = _pairs_part_rows(bk, bits)
+    if part_rows > gs_rows or gs_rows % part_rows != 0:
+        return False
+    ppd = max(1, 128 // part_rows)
+    if gs_rows % (part_rows * ppd) != 0:
+        return False
     return True
 
 
@@ -148,11 +124,13 @@ def _qmm_kernel(x_ref, qw_ref, sc_ref, zp_ref, out_ref, acc_ref,
     if _pairs_fast_path(layout, gs_rows, bk, bits):
         # pairs fast path: each injected part j — ((u >> s) & mask2) | one2,
         # bitcast 32->16 — IS the contiguous natural-row slice
-        # [j*2W, (j+1)*2W) of the tile (2W = bk*bits/16 rows <= one quant
+        # [j*2W, (j+1)*2W) of the tile (2W = 2*bk/vpw rows <= one quant
         # group), so the MXU consumes every part straight out of the
         # injection with NO (bk, bn) concatenate/materialization. The host
-        # folded 2^b into sc and (off - 2^b*sc) into off (w' = 1 + c/2^b).
-        u_all = pltpu.bitcast(qw_ref[:], jnp.uint32)
+        # folded 2^b into sc and (off - 2^b*sc) into off (w' = 1 + c/2^b);
+        # 3-bit codes are stored contiguously (3.2 effective bits), so it
+        # runs the same ONE pass as the power-of-two widths.
+        u = pltpu.bitcast(qw_ref[:], jnp.uint32)
         one2 = jnp.uint32(0x3F803F80)
         m = xv.shape[0]
         xsum = jnp.sum(
@@ -160,37 +138,30 @@ def _qmm_kernel(x_ref, qw_ref, sc_ref, zp_ref, out_ref, acc_ref,
         acc = jnp.dot(xsum, off.astype(jnp.float32),
                       preferred_element_type=jnp.float32)
 
-        w_off = 0
-        for b, coef in _pairs_planes(bits):
-            n_words = bk * b // 32
-            u = u_all[w_off : w_off + n_words]
-            w_off += n_words
-            vpw_p = 32 // b
-            sh = 7 - b
-            mask2 = jnp.uint32(((2**b - 1) << sh) * 0x00010001)
-            part_rows = bk * b // 16
+        vpw_p = 2 * (16 // bits)
+        sh = 7 - bits
+        mask2 = jnp.uint32(((2**bits - 1) << sh) * 0x00010001)
+        part_rows = _pairs_part_rows(bk, bits)
 
-            def part(j, u=u, b=b, sh=sh, mask2=mask2):
-                s = b * j - sh
-                t = (u >> jnp.uint32(s)) if s >= 0 else (u << jnp.uint32(-s))
-                w1j = pltpu.bitcast((t & mask2) | one2, jnp.bfloat16)
-                return w1j if w1j.dtype == xv.dtype else w1j.astype(xv.dtype)
+        def part(j):
+            s = bits * j - sh
+            t = (u >> jnp.uint32(s)) if s >= 0 else (u << jnp.uint32(-s))
+            w1j = pltpu.bitcast((t & mask2) | one2, jnp.bfloat16)
+            return w1j if w1j.dtype == xv.dtype else w1j.astype(xv.dtype)
 
-            # feed the MXU >= 128-row dots: adjacent parts are consecutive
-            # natural-row slices, so concatenating ppd of them (W2: 2x64
-            # rows) restores a full-width contraction; every plane covers
-            # ALL bk natural rows (x slices are per-part, not per-plane)
-            ppd = max(1, 128 // part_rows)
-            dot_rows = part_rows * ppd
-            for j0 in range(0, vpw_p // 2, ppd):
-                w1 = (part(j0) if ppd == 1 else jnp.concatenate(
-                    [part(j0 + d) for d in range(ppd)], axis=0))
-                g_j = (j0 * part_rows) // gs_rows
-                d = jnp.dot(
-                    xv[:, j0 * part_rows : j0 * part_rows + dot_rows],
-                    w1, preferred_element_type=jnp.float32)
-                scg = sc[g_j][None, :].astype(jnp.float32)
-                acc += d * (scg if coef is None else scg * coef)
+        # feed the MXU >= 128-row dots: adjacent parts are consecutive
+        # natural-row slices, so concatenating ppd of them (W2: 2x64
+        # rows) restores a full-width contraction
+        ppd = max(1, 128 // part_rows)
+        dot_rows = part_rows * ppd
+        for j0 in range(0, vpw_p // 2, ppd):
+            w1 = (part(j0) if ppd == 1 else jnp.concatenate(
+                [part(j0 + d) for d in range(ppd)], axis=0))
+            g_j = (j0 * part_rows) // gs_rows
+            d = jnp.dot(
+                xv[:, j0 * part_rows : j0 * part_rows + dot_rows],
+                w1, preferred_element_type=jnp.float32)
+            acc += d * sc[g_j][None, :].astype(jnp.float32)
         acc_ref[:] += acc
 
         @pl.when(k == nk - 1)
@@ -245,7 +216,7 @@ def _qmm_call(x, qweight, scales_t, zeros_t, bits, group_size,
               out_features, block_n, tile_k, interpret, layout="planar"):
     m, k = x.shape
     bk = tile_k  # one K tile == one pack tile (layout parameter)
-    k_pad = rows_per_words(bits, qweight.shape[0])
+    k_pad = rows_per_words(bits, qweight.shape[0], layout)
     assert k_pad % bk == 0, (k_pad, bk)
     if k_pad != k:
         x = jnp.pad(x, ((0, 0), (0, k_pad - k)))
@@ -286,14 +257,9 @@ def _qmm_call(x, qweight, scales_t, zeros_t, bits, group_size,
     offsets_t = -zeros_t * scales_t
     if _pairs_fast_path(layout, gs_rows, bk, bits):  # kernel fast-path cond
         # fold the pairs path's w' = 1 + c/2^b algebra:
-        # sc*(x@c) + xsum*off == (2^b*sc)*(x@w') + xsum*(off - 2^b*sc);
-        # 3-bit keeps raw sc (the kernel applies the 4/8 plane coefs) and
-        # folds the combined -12*sc*xsum correction into off
-        if bits == 3:
-            offsets_t = offsets_t - scales_t * 12.0
-        else:
-            offsets_t = offsets_t - scales_t * (2.0 ** bits)
-            scales_t = scales_t * (2.0 ** bits)
+        # sc*(x@c) + xsum*off == (2^b*sc)*(x@w') + xsum*(off - 2^b*sc)
+        offsets_t = offsets_t - scales_t * (2.0 ** bits)
+        scales_t = scales_t * (2.0 ** bits)
     scales_t = to_slabs(scales_t)
     offsets_t = to_slabs(offsets_t)
 
@@ -310,7 +276,7 @@ def _qmm_call(x, qweight, scales_t, zeros_t, bits, group_size,
         in_specs=[
             pl.BlockSpec((bm, bk), lambda im, i, j: (im, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((words_per_rows(bits, bk), bn),
+            pl.BlockSpec((words_per_rows(bits, bk, layout), bn),
                          lambda im, i, j: (j, i), memory_space=pltpu.VMEM),
             sc_spec,
             sc_spec,
@@ -456,7 +422,7 @@ def _qmm_int_call(xc, xs, qweight, scales_t, off2_t, bits, group_size,
                   layout="planar"):
     m, k = xc.shape
     bk = tile_k
-    k_pad = rows_per_words(bits, qweight.shape[0])
+    k_pad = rows_per_words(bits, qweight.shape[0], layout)
     assert k_pad % bk == 0, (k_pad, bk)
     if k_pad != k:
         xc = jnp.pad(xc, ((0, 0), (0, k_pad - k)))
@@ -503,7 +469,7 @@ def _qmm_int_call(xc, xs, qweight, scales_t, off2_t, bits, group_size,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bm, 1), lambda im, i, j: (im, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((words_per_rows(bits, bk), bn),
+            pl.BlockSpec((words_per_rows(bits, bk, layout), bn),
                          lambda im, i, j: (j, i), memory_space=pltpu.VMEM),
             sc_spec,
             sc_spec,

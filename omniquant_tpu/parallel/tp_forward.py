@@ -80,8 +80,8 @@ def _pad_packed_in(pw: PackedWeight, new_in: int) -> PackedWeight:
         return pw
     assert new_in > pw.in_features and new_in % pw.tile_k == 0, (
         new_in, pw.in_features, pw.tile_k)
-    k_pad_old = rows_per_words(pw.bits, pw.qweight.shape[0])
-    new_words = words_per_rows(pw.bits, new_in)
+    k_pad_old = rows_per_words(pw.bits, pw.qweight.shape[0], pw.layout)
+    new_words = words_per_rows(pw.bits, new_in, pw.layout)
     qweight = jnp.pad(pw.qweight,
                       ((0, new_words - pw.qweight.shape[0]), (0, 0)))
     scales, zeros = pw.scales, pw.zeros
@@ -101,7 +101,7 @@ def _retile_packed(pw: PackedWeight, new_tile: int) -> PackedWeight:
     column-parallel shard boundary wouldn't land on a whole-tile boundary."""
     from ..quant.packing import pack_codes, unpack_codes
 
-    k_total = rows_per_words(pw.bits, pw.qweight.shape[0])
+    k_total = rows_per_words(pw.bits, pw.qweight.shape[0], pw.layout)
     codes = unpack_codes(pw.qweight, pw.bits, k_total, pw.group_size,
                          pw.tile_k, pw.layout)  # incl. layout pad rows
     assert k_total % new_tile == 0, (k_total, new_tile)
@@ -110,8 +110,14 @@ def _retile_packed(pw: PackedWeight, new_tile: int) -> PackedWeight:
     return dataclasses.replace(pw, qweight=qweight, tile_k=new_tile)
 
 
-def _min_tile(bits: int, group_size: Optional[int]) -> int:
-    base = 256 if bits == 3 else 8 * (32 // bits)
+def _min_tile(bits: int, group_size: Optional[int],
+              layout: str = "planar") -> int:
+    if bits == 3 and layout == "pairs":
+        base = 80  # 10 codes/word x 8 sublanes (quant/packing.pack_tile)
+    elif bits == 3:
+        base = 256
+    else:
+        base = 8 * (32 // bits)
     if group_size:
         base = base * group_size // math.gcd(base, group_size)
     return base
@@ -120,10 +126,10 @@ def _min_tile(bits: int, group_size: Optional[int]) -> int:
 def _ensure_col_splittable(pw: PackedWeight, tp: int) -> PackedWeight:
     """Make a column-parallel PackedWeight's packed rows splittable into tp
     whole-tile shards, re-tiling to a smaller layout tile if needed."""
-    k_total = rows_per_words(pw.bits, pw.qweight.shape[0])
+    k_total = rows_per_words(pw.bits, pw.qweight.shape[0], pw.layout)
     if k_total % tp == 0 and (k_total // tp) % pw.tile_k == 0:
         return pw
-    base = _min_tile(pw.bits, pw.group_size)
+    base = _min_tile(pw.bits, pw.group_size, pw.layout)
     k_local = k_total // tp
     if k_total % tp or k_local % base:
         raise ValueError(
@@ -184,7 +190,8 @@ def pad_intermediate_packed(block: dict, cfg, tp: int,
     inter_pad = -(-inter // unit) * unit
     if inter_pad == inter and (
             not isinstance(col, PackedWeight)
-            or rows_per_words(col.bits, col.qweight.shape[0]) == inter_pad):
+            or rows_per_words(col.bits, col.qweight.shape[0],
+                              col.layout) == inter_pad):
         return block
     out = dict(block)
     for name in row_names:
@@ -372,7 +379,7 @@ def _fix_local_pw(w: PackedWeight) -> PackedWeight:
     """Inside shard_map the arrays are LOCAL shards; rebuild the logical
     dims from the actual shard shapes (row-parallel shrank out; column-
     parallel shrank in)."""
-    local_rows = rows_per_words(w.bits, w.qweight.shape[0])
+    local_rows = rows_per_words(w.bits, w.qweight.shape[0], w.layout)
     return dataclasses.replace(
         w, out_features=w.qweight.shape[1],
         in_features=min(w.in_features, local_rows))

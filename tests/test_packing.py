@@ -75,12 +75,15 @@ def test_pairs_layout_roundtrip():
     from omniquant_tpu.quant.packing import pack_codes, unpack_codes
 
     rng = np.random.default_rng(3)
-    for bits in (2, 3, 4):
+    for bits, in_f, words in ((2, 512, 32), (3, 1280, 128), (4, 512, 64)):
         codes = jnp.asarray(
-            rng.integers(0, 2**bits, (96, 512)), jnp.int32)  # (out, in)
+            rng.integers(0, 2**bits, (96, in_f)), jnp.int32)  # (out, in)
         packed = pack_codes(codes, bits, group_size=128, layout="pairs")
-        assert packed.shape[0] == 512 * bits // 32
-        got = unpack_codes(packed, bits, 512, group_size=128,
+        # 2/4-bit: exact bits/32 per word; 3-bit: 10 contiguous codes per
+        # word (3.2 effective bits) so the decode fast path runs ONE
+        # injected pass instead of the planar 2+1 planes' two
+        assert packed.shape[0] == words
+        got = unpack_codes(packed, bits, in_f, group_size=128,
                            layout="pairs")
         np.testing.assert_array_equal(np.asarray(got), np.asarray(codes.T))
 
@@ -91,5 +94,5 @@ def test_pairs_layout_default_selection():
     assert default_layout(4, 128) == "pairs"
     assert default_layout(2, None) == "pairs"
     assert default_layout(4, 64) == "planar"   # fine groups: fma path
-    assert default_layout(3, 128) == "pairs"   # 2+1 plane pairs
+    assert default_layout(3, 128) == "pairs"   # contiguous 10-codes/word
     assert default_layout(8, 128) == "planar"  # 8-bit codes overflow bf16
