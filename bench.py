@@ -349,7 +349,7 @@ def main():
         t0 = time.time()
         for _ in range(3):
             seq()
-        seq_tok_ms = (time.time() - t0) / 3 / 8
+        seq_tok_ms = (time.time() - t0) / 3 / 8 * 1e3
 
         sd = SpecDecoder(eng, draft_layers=d, gamma=g)
         for s in slots:
@@ -370,7 +370,7 @@ def main():
             out = fused()
             emitted += sum(len(t) for t in out.values())
         dt = time.time() - t0
-        round_ms = dt / n_disp / r
+        round_ms = dt / n_disp / r * 1e3
         b.extras["spec_round_ms"] = round(round_ms, 2)
         b.extras["spec_round_cost_seq_tokens"] = round(
             round_ms / seq_tok_ms, 2)

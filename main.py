@@ -44,6 +44,10 @@ def build_parser():
     p.add_argument("--seqlen", type=int, default=2048)
     p.add_argument("--seed", type=int, default=2)
     p.add_argument("--tasks", default="")
+    p.add_argument("--eval_cache", default="",
+                   help="sqlite path: cache task-eval LM responses "
+                        "(CachingLM) so interrupted/repeated runs skip "
+                        "already-scored requests")
     p.add_argument("--eval_ppl", action="store_true")
     p.add_argument("--num_fewshot", type=int, default=0)
     p.add_argument("--wbits", type=int, default=4)
@@ -64,6 +68,11 @@ def build_parser():
                    help="tensor-parallel degree for evaluation (the "
                         "reference's --multigpu analog, but real TP over a "
                         "device mesh with XLA collectives)")
+    p.add_argument("--tp_overlap", type=int, default=1,
+                   help="split each TP column-parallel site into this many "
+                        "independent (quant-matmul -> psum) chunks so XLA "
+                        "overlaps all-reduce k with matmul k+1 "
+                        "(parallel/tp_forward._col_linear_psum)")
     p.add_argument("--sp", type=int, default=1,
                    help="sequence-parallel degree for calibration at "
                         "seqlen > 2048: activation buffers shard on the "
@@ -335,7 +344,8 @@ def main(argv=None):
             family, params, model_cfg, tokenizer, args.tasks.split(","),
             num_fewshot=args.num_fewshot,
             limit=None if args.limit < 0 else args.limit,
-            spec=cc.act_quant_spec, logger=logger)
+            spec=cc.act_quant_spec, logger=logger,
+            cache_db=args.eval_cache or None)
         results.update(t_results)
 
     if args.serve_prompt is not None:
@@ -353,7 +363,8 @@ def main(argv=None):
             eng = TP_ENGINES[family.name](
                 params, model_cfg, make_mesh(dp=1, tp=args.tp),
                 max_batch=1, max_len=seqlen,
-                kv_dtype=args.serve_kv_dtype, auto_grow=False)
+                kv_dtype=args.serve_kv_dtype, auto_grow=False,
+                overlap_chunks=args.tp_overlap)
             logger.info(f"serving tensor-sharded over tp={args.tp}")
         else:
             eng = eng_map[family.name](
@@ -363,14 +374,14 @@ def main(argv=None):
         if args.spec_decode > 0:
             from omniquant_tpu.serving.spec_decode import SpecDecoder
 
-            if args.temperature > 0:
-                raise ValueError(
-                    "--spec_decode is greedy-only; drop --temperature or "
-                    "serve without speculative decoding")
             sd = SpecDecoder(eng, draft_layers=args.draft_layers,
                              gamma=args.spec_decode)
+            # temperature > 0 routes through speculative SAMPLING
+            # (rejection-sampling acceptance; emitted stream distributed
+            # as plain target sampling) — serving/spec_decode.py
             out = sd.generate(list(toks),
-                              max_new_tokens=args.max_new_tokens)
+                              max_new_tokens=args.max_new_tokens,
+                              temperature=args.temperature)
             logger.info(
                 f"spec-decode acceptance {sd.acceptance_rate:.2f} "
                 f"({sd.accepted}/{sd.proposed})")

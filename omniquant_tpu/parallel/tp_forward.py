@@ -395,22 +395,79 @@ def _row_linear(x, w):
     return y
 
 
-def _col_linear_psum(x, w, tp_axis):
+def _slice_packed_out(pw: PackedWeight, n0: int, n1: int) -> PackedWeight:
+    """Static slice of a PackedWeight along OUT (qweight lanes + scale/zero
+    rows + bias). Any [n0, n1) is layout-valid: packing is per-lane along
+    out, so no word boundaries are crossed."""
+    return dataclasses.replace(
+        pw,
+        qweight=jax.lax.slice_in_dim(pw.qweight, n0, n1, axis=1),
+        scales=jax.lax.slice_in_dim(pw.scales, n0, n1, axis=0),
+        zeros=jax.lax.slice_in_dim(pw.zeros, n0, n1, axis=0),
+        bias=None if pw.bias is None else pw.bias[n0:n1],
+        out_features=n1 - n0)
+
+
+def effective_overlap_chunks(n: int, chunks: int) -> int:
+    """Largest c <= chunks such that every chunk keeps the kernel's 128-lane
+    tiling (n % (c*128) == 0); 1 when n is too small to split."""
+    c = max(1, chunks)
+    while c > 1 and n % (c * 128) != 0:
+        c -= 1
+    return c
+
+
+def _col_linear_psum(x, w, tp_axis, overlap_chunks: int = 1):
     """Column-parallel: local partial product, all-reduce, then the
-    (replicated) bias exactly once."""
+    (replicated) bias exactly once.
+
+    overlap_chunks > 1 splits the OUT dim into that many independent
+    (matmul -> psum) pairs. Each chunk's all-reduce depends only on its own
+    partial product, so XLA's latency-hiding scheduler can run collective
+    chunk k while the MXU computes chunk k+1 — the north-star "all-reduce
+    overlapped with quantized matmuls" (SURVEY §2.3; the reference has no
+    tensor parallelism at all, its parallel_utils.py:89-163 is sequential
+    layer placement). Exact equality with the unchunked path is asserted
+    in tests/test_tp_packed.py / test_tp_engine.py; scripts/exp_tp_overlap.py
+    records the HLO-schedule artifact."""
     if isinstance(w, PackedWeight):
-        y = quant_matmul(x, dataclasses.replace(_fix_local_pw(w), bias=None))
-        y = jax.lax.psum(y, tp_axis)
+        wl = _fix_local_pw(w)
+        n = wl.out_features
+        c = effective_overlap_chunks(n, overlap_chunks)
+        if c > 1:
+            step = n // c
+            parts = [
+                jax.lax.psum(
+                    quant_matmul(
+                        x, dataclasses.replace(
+                            _slice_packed_out(wl, i * step, (i + 1) * step),
+                            bias=None)),
+                    tp_axis)
+                for i in range(c)
+            ]
+            y = jnp.concatenate(parts, axis=-1)
+        else:
+            y = jax.lax.psum(
+                quant_matmul(x, dataclasses.replace(wl, bias=None)), tp_axis)
         if w.bias is not None:
             y = y + w.bias.astype(y.dtype)
         return y
-    y = jax.lax.psum(x @ w["weight"].T, tp_axis)
+    n = w["weight"].shape[0]
+    c = effective_overlap_chunks(n, overlap_chunks)
+    if c > 1:
+        step = n // c
+        y = jnp.concatenate([
+            jax.lax.psum(x @ w["weight"][i * step:(i + 1) * step].T, tp_axis)
+            for i in range(c)
+        ], axis=-1)
+    else:
+        y = jax.lax.psum(x @ w["weight"].T, tp_axis)
     if w.get("bias") is not None:
         y = y + w["bias"]
     return y
 
 
-def _llama_block_fn(cfg, tp, tp_axis):
+def _llama_block_fn(cfg, tp, tp_axis, overlap_chunks: int = 1):
     hd = cfg.head_dim
     n_heads_l = cfg.num_attention_heads // tp
     n_kv_l = max(1, cfg.num_key_value_heads // tp)
@@ -437,19 +494,19 @@ def _llama_block_fn(cfg, tp, tp_axis):
             (scores + mask).astype(jnp.float32), axis=-1).astype(x.dtype)
         attn = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
         attn = attn.transpose(0, 2, 1, 3).reshape(b, s, n_heads_l * hd)
-        x = residual + _col_linear_psum(attn, p["o_proj"], tp_axis)
+        x = residual + _col_linear_psum(attn, p["o_proj"], tp_axis, overlap_chunks)
 
         residual = x
         hidden = rms_norm(x, p["post_attention_layernorm"], cfg.rms_norm_eps)
         gate = _row_linear(hidden, p["gate_proj"])
         up = _row_linear(hidden, p["up_proj"])
-        mlp = _col_linear_psum(jax.nn.silu(gate) * up, p["down_proj"], tp_axis)
+        mlp = _col_linear_psum(jax.nn.silu(gate) * up, p["down_proj"], tp_axis, overlap_chunks)
         return residual + mlp
 
     return block_fn
 
 
-def _opt_block_fn(cfg, tp, tp_axis):
+def _opt_block_fn(cfg, tp, tp_axis, overlap_chunks: int = 1):
     hd = cfg.head_dim
     n_heads_l = cfg.num_attention_heads // tp
     assert cfg.num_attention_heads % tp == 0, "heads must divide tp"
@@ -472,7 +529,7 @@ def _opt_block_fn(cfg, tp, tp_axis):
             (scores + mask).astype(jnp.float32), axis=-1).astype(x.dtype)
         attn = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
         attn = attn.transpose(0, 2, 1, 3).reshape(b, s, n_heads_l * hd)
-        x = residual + _col_linear_psum(attn, p["out_proj"], tp_axis)
+        x = residual + _col_linear_psum(attn, p["out_proj"], tp_axis, overlap_chunks)
         if not cfg.do_layer_norm_before:
             x = layer_norm(x, p["self_attn_layer_norm"], cfg.layer_norm_eps)
 
@@ -482,7 +539,7 @@ def _opt_block_fn(cfg, tp, tp_axis):
             hidden = layer_norm(
                 hidden, p["final_layer_norm"], cfg.layer_norm_eps)
         hidden = jax.nn.relu(_row_linear(hidden, p["fc1"]))
-        x = residual + _col_linear_psum(hidden, p["fc2"], tp_axis)
+        x = residual + _col_linear_psum(hidden, p["fc2"], tp_axis, overlap_chunks)
         if not cfg.do_layer_norm_before:
             x = layer_norm(x, p["final_layer_norm"], cfg.layer_norm_eps)
         return x
@@ -490,7 +547,7 @@ def _opt_block_fn(cfg, tp, tp_axis):
     return block_fn
 
 
-def _falcon_block_fn(cfg, tp, tp_axis):
+def _falcon_block_fn(cfg, tp, tp_axis, overlap_chunks: int = 1):
     nh, hd = cfg.num_attention_heads, cfg.head_dim
     assert nh % tp == 0, "heads must divide tp"
     nh_l = nh // tp
@@ -543,7 +600,7 @@ def _falcon_block_fn(cfg, tp, tp_axis):
             (scores + m).astype(jnp.float32), axis=-1).astype(x.dtype)
         attn = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
         attn = attn.transpose(0, 2, 1, 3).reshape(b, s, nh_l * hd)
-        attn_out = _col_linear_psum(attn, p["dense"], tp_axis)
+        attn_out = _col_linear_psum(attn, p["dense"], tp_axis, overlap_chunks)
 
         if not cfg.new_decoder_architecture:
             if cfg.parallel_attn:
@@ -555,7 +612,7 @@ def _falcon_block_fn(cfg, tp, tp_axis):
                     cfg.layer_norm_eps)
         hmid = jax.nn.gelu(
             _row_linear(mlp_ln_out, p["dense_h_to_4h"]), approximate=False)
-        mlp_out = _col_linear_psum(hmid, p["dense_4h_to_h"], tp_axis)
+        mlp_out = _col_linear_psum(hmid, p["dense_4h_to_h"], tp_axis, overlap_chunks)
         if cfg.new_decoder_architecture or cfg.parallel_attn:
             mlp_out = mlp_out + attn_out
         return residual + mlp_out
@@ -574,14 +631,15 @@ _BLOCK_FNS = {
 # public API
 # ---------------------------------------------------------------------------
 
-def make_tp_forward(family: str, mesh: Mesh, cfg, tp_axis: str = "tp"):
+def make_tp_forward(family: str, mesh: Mesh, cfg, tp_axis: str = "tp",
+                    overlap_chunks: int = 1):
     """Returns (make_forward, shard_block): shard_block pads + places one
     calibrated block's weights (PackedWeight or dense) for TP; make_forward
     builds the jitted tensor-parallel trunk over the sharded blocks.
     Embeds/head stay outside (replicated)."""
     tp = mesh.shape[tp_axis]
     shard_block, block_specs = _make_shard_block(mesh, family, cfg, tp)
-    block_fn = _BLOCK_FNS[family](cfg, tp, tp_axis)
+    block_fn = _BLOCK_FNS[family](cfg, tp, tp_axis, overlap_chunks)
     uses_alibi = family == "falcon" and cfg.alibi
 
     def make_forward(layers):

@@ -227,8 +227,9 @@ class LlamaEngine:
         self._decode_multi = jax.jit(
             self._decode_multi_impl, donate_argnums=(1,),
             static_argnames=("kv_len", "n_steps", "do_sample"))
-        self._verify = jax.jit(self._verify_impl, donate_argnums=(1,),
-                               static_argnames=("kv_len", "s"))
+        self._verify = jax.jit(
+            self._verify_impl, donate_argnums=(1,),
+            static_argnames=("kv_len", "s", "return_logits"))
 
     def _next_key(self):
         key = jax.random.fold_in(self._base_key, self._dispatch)
@@ -540,7 +541,7 @@ class LlamaEngine:
             logits[:, 0], key, temps, top_ks, top_ps, do_sample)
 
     def _verify_impl(self, params, cache: KVCache, tokens, lengths,
-                     kv_len: int, s: int):
+                     kv_len: int, s: int, return_logits: bool = False):
         """Score s KNOWN tokens per slot in ONE forward (the speculative-
         decoding verify pass): tokens (B, s) enter at positions
         lengths..lengths+s-1, their KV is committed (stale tail entries are
@@ -590,6 +591,10 @@ class LlamaEngine:
                 return self._read_kv(cache, _li, kv_len)
             x = self._block(p, x, positions, mask, commit)
         logits = self._head(params, x)  # (B, s, V)
+        if return_logits:
+            # sampling-mode speculative decoding needs the full rows (the
+            # acceptance test is p(x)/q(x) on the warped distributions)
+            return cache, logits.astype(jnp.float32)
         return cache, jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
     def _decode_multi_impl(self, params, cache: KVCache, last_tokens,
@@ -832,6 +837,34 @@ class LlamaEngine:
             jnp.asarray(self.lengths), kv_len=kv_len, s=s)
         out = np.asarray(out)
         return {sl: out[sl].tolist() for sl in tokens}
+
+    def verify_step_logits(self, tokens: dict) -> dict:
+        """verify_step returning the FULL fp32 logit rows instead of
+        argmaxes: {slot: (s, V) ndarray}. Same KV-write semantics
+        (positions lengths..lengths+s-1; `lengths` not advanced). The
+        sampling-mode speculative-decoding acceptance rule needs the whole
+        warped distributions p_i (serving/spec_decode.py: accept proposal
+        x_i with prob min(1, p_i(x_i)/q_i(x_i)), resample rejections from
+        normalize(max(p_i - q_i, 0)))."""
+        s = len(next(iter(tokens.values())))
+        if not all(len(t) == s for t in tokens.values()):
+            raise ValueError(
+                "verify_step_logits requires the same number of tokens per "
+                f"slot (got {sorted(set(len(t) for t in tokens.values()))})")
+        self._check_capacity(tokens, s)
+        toks = np.zeros((self.max_batch, s), np.int32)
+        for sl, ts in tokens.items():
+            toks[sl] = ts
+        longest = int(self.lengths[self.active].max()) if self.active.any() \
+            else 0
+        kv_len = min(self.max_len,
+                     max(64, 1 << int(np.ceil(np.log2(longest + s + 1)))))
+        self.cache, out = self._verify(
+            self.params, self.cache, jnp.asarray(toks),
+            jnp.asarray(self.lengths), kv_len=kv_len, s=s,
+            return_logits=True)
+        out = np.asarray(out)
+        return {sl: out[sl] for sl in tokens}
 
     def generate(self, prompt_tokens, max_new_tokens: int = 32,
                  temperature: float = 0.0, top_k: int = 0,

@@ -1,4 +1,8 @@
-"""Speculative decoding for the serving engines (greedy-exact).
+"""Speculative decoding for the serving engines.
+
+Two acceptance modes: GREEDY-EXACT (argmax equality; fused multi-round
+device dispatch) and SAMPLING (rejection-sampling acceptance, temperature
+warping; host-paced) — `generate(temperature=...)` picks the mode.
 
 Sequential decode streams + unpacks EVERY packed weight once per token;
 measured on one v5e chip that puts a hard floor under the step time
@@ -102,6 +106,9 @@ class SpecDecoder:
         self.proposed = 0
         self.accepted = 0
         self._round_fns = {}  # (g, r, kv_len) -> fused-round program
+        # host-side randomness for the sampling-mode acceptance test /
+        # residual draws (device keys drive the draft's proposal sampling)
+        self._host_rng = np.random.default_rng(0)
 
     # ------------------------------------------------------------------
     def add_request(self, tokens, **kw) -> int:
@@ -257,10 +264,106 @@ class SpecDecoder:
             self.draft.lengths[s] = t.lengths[s]
         return res
 
+    # ------------------------------------------------------------------
+    # sampling mode (rejection-sampling acceptance, Leviathan et al. 2022)
+    def sample_spec_step(self, last_tokens: Dict[int, int]
+                         ) -> Dict[int, List[int]]:
+        """One SAMPLING speculative round: draft proposes gamma tokens by
+        sampling q_i, the target scores them in one verify pass, and each
+        proposal x_i is accepted with prob min(1, p_i(x_i)/q_i(x_i)); the
+        first rejection is replaced by a sample from the residual
+        normalize(max(p_i - q_i, 0)) and the round stops; full acceptance
+        appends a bonus sample from p_gamma. The emitted stream is
+        distributed EXACTLY as target temperature sampling (the standard
+        speculative-sampling identity: for any proposal q,
+        P[emit = x] = q(x)·min(1, p(x)/q(x)) + (1 - alpha)·res(x) = p(x)).
+
+        Temperature-only warping: every requested slot needs temps > 0 and
+        top_k == 0 / top_p == 1 (truncation warps would have to be applied
+        to BOTH p and q; not wired). Host-paced (three dispatches per
+        round: g draft steps ride one-by-one, then draft + target verify
+        passes); the greedy fused path (spec_steps) stays the fast lane."""
+        g, t, d = self.gamma, self.target, self.draft
+        for s in last_tokens:
+            if not t.temps[s] > 0:
+                raise ValueError(
+                    "sample_spec_step needs temperature > 0 for every "
+                    f"requested slot (slot {s} is greedy — use spec_step)")
+            if t.top_ks[s] != 0 or t.top_ps[s] != 1.0:
+                raise ValueError(
+                    "sampling-mode speculative decoding supports "
+                    "temperature-only warping (top_k=0, top_p=1); slot "
+                    f"{s} has top_k={t.top_ks[s]}, top_p={t.top_ps[s]}")
+        t._check_capacity(last_tokens, g + 1)
+        d._check_capacity(last_tokens, g + 1)
+        for s in last_tokens:
+            d.lengths[s] = t.lengths[s]
+        # draft samples g proposals autoregressively (draft temps mirror
+        # the target's via add_request; its KV rows L..L+g-1 are written)
+        props = {s: [] for s in last_tokens}
+        cur = dict(last_tokens)
+        for _ in range(g):
+            out = d.step(cur)
+            for s in last_tokens:
+                props[s].append(out[s])
+            cur = dict(out)
+        for s in last_tokens:  # step() advanced; verify re-scores from L
+            d.lengths[s] = t.lengths[s]
+        ver = {s: [last_tokens[s]] + props[s] for s in last_tokens}
+        q_log = d.verify_step_logits(ver)   # draft rows (+ L+g KV row)
+        p_log = t.verify_step_logits(ver)   # target rows
+        res: Dict[int, List[int]] = {}
+        for s in last_tokens:
+            T = float(t.temps[s])
+            p = _softmax_rows(p_log[s] / T)   # (g+1, V)
+            q = _softmax_rows(q_log[s] / T)
+            emitted: List[int] = []
+            for i in range(g):
+                x = props[s][i]
+                if self._host_rng.uniform() < min(
+                        1.0, p[i, x] / max(q[i, x], 1e-30)):
+                    emitted.append(x)
+                    continue
+                resid = np.maximum(p[i] - q[i], 0.0)
+                tot = resid.sum()
+                if tot <= 0:  # p == q: residual empty, resample from p
+                    resid, tot = p[i], p[i].sum()
+                emitted.append(int(
+                    self._host_rng.choice(len(resid), p=resid / tot)))
+                break
+            else:  # all g accepted: bonus token from the target's p_g
+                emitted.append(int(
+                    self._host_rng.choice(p.shape[1], p=p[g] / p[g].sum())))
+            t.lengths[s] += len(emitted)
+            self.proposed += g
+            # emitted = accepted proposals + 1 (residual sample or bonus)
+            self.accepted += len(emitted) - 1
+            res[s] = emitted
+        for s in last_tokens:
+            d.lengths[s] = t.lengths[s]
+        return res
+
     def generate(self, prompt_tokens, max_new_tokens: int = 32,
-                 rounds_per_dispatch: int = 4) -> list:
-        """Greedy generation; token-for-token equal to
-        target.generate(prompt_tokens, max_new_tokens)."""
+                 rounds_per_dispatch: int = 4,
+                 temperature: float = 0.0) -> list:
+        """Greedy generation (temperature 0): token-for-token equal to
+        target.generate(prompt_tokens, max_new_tokens). With temperature >
+        0: speculative SAMPLING (sample_spec_step) — the emitted stream is
+        distributed as plain target sampling at that temperature."""
+        if temperature > 0:
+            slot = self.add_request(list(prompt_tokens),
+                                    temperature=temperature)
+            out = [self._pending(slot)]
+            while len(out) < max_new_tokens:
+                head = self.target.max_len - int(self.target.lengths[slot])
+                if not self.target.auto_grow and head < self.gamma + 1:
+                    res = self.target.step({slot: out[-1]})
+                    self.draft.lengths[slot] = self.target.lengths[slot]
+                    out.append(res[slot])
+                    continue
+                out.extend(self.sample_spec_step({slot: out[-1]})[slot])
+            self.release(slot)
+            return out[:max_new_tokens]
         slot = self.add_request(prompt_tokens)
         out = [self._pending(slot)]
         while len(out) < max_new_tokens:
@@ -290,6 +393,15 @@ class SpecDecoder:
     @property
     def acceptance_rate(self) -> float:
         return self.accepted / self.proposed if self.proposed else 0.0
+
+
+def _softmax_rows(logits: np.ndarray) -> np.ndarray:
+    """Row-wise float64 softmax (host-side: the acceptance ratios and
+    residual distributions want full precision)."""
+    z = logits.astype(np.float64)
+    z = z - z.max(axis=-1, keepdims=True)
+    e = np.exp(z)
+    return e / e.sum(axis=-1, keepdims=True)
 
 
 def _clone_cfg(cfg, **overrides):

@@ -290,15 +290,48 @@ class _TPMixin:
 
     def _col_linear(self, x, w):
         """Column-parallel linear: TP-exact input quant, local partial
-        product, psum, bias exactly once (it is replicated)."""
+        product, psum, bias exactly once (it is replicated).
+
+        With overlap_chunks > 1 (engine kwarg) the OUT dim is split into
+        independent (matmul -> psum) pairs so XLA's latency-hiding
+        scheduler can overlap collective k with matmul k+1 — see
+        parallel/tp_forward._col_linear_psum (same algebra; equality
+        asserted in tests/test_tp_engine.py)."""
+        from ..parallel.tp_forward import (
+            _slice_packed_out, effective_overlap_chunks)
+
         x = self._tp_act_quant(x, self.spec.act)
+        chunks = getattr(self, "overlap_chunks", 1)
         if isinstance(w, PackedWeight):
-            y = quant_matmul(x, dataclasses.replace(w, bias=None))
-            y = jax.lax.psum(y, "tp")
+            n = w.out_features
+            c = effective_overlap_chunks(n, chunks)
+            if c > 1:
+                step = n // c
+                y = jnp.concatenate([
+                    jax.lax.psum(
+                        quant_matmul(x, dataclasses.replace(
+                            _slice_packed_out(w, i * step, (i + 1) * step),
+                            bias=None)),
+                        "tp")
+                    for i in range(c)
+                ], axis=-1)
+            else:
+                y = jax.lax.psum(
+                    quant_matmul(x, dataclasses.replace(w, bias=None)), "tp")
             if w.bias is not None:
                 y = y + w.bias.astype(y.dtype)
             return y
-        y = jax.lax.psum(x @ w["weight"].T, "tp")
+        n = w["weight"].shape[0]
+        c = effective_overlap_chunks(n, chunks)
+        if c > 1:
+            step = n // c
+            y = jnp.concatenate([
+                jax.lax.psum(
+                    x @ w["weight"][i * step:(i + 1) * step].T, "tp")
+                for i in range(c)
+            ], axis=-1)
+        else:
+            y = jax.lax.psum(x @ w["weight"].T, "tp")
         if w.get("bias") is not None:
             y = y + w["bias"]
         return y
@@ -318,6 +351,7 @@ class TPLlamaEngine(_TPMixin, LlamaEngine):
     """Tensor-sharded llama-family continuous-batching engine."""
 
     def __init__(self, params: dict, cfg, mesh: Mesh, **kw):
+        self.overlap_chunks = kw.pop("overlap_chunks", 1)
         tp = mesh.shape["tp"]
         assert cfg.num_attention_heads % tp == 0, "heads must divide tp"
         assert cfg.num_key_value_heads % tp == 0, "kv heads must divide tp"
@@ -360,6 +394,7 @@ class TPOPTEngine(_TPMixin, OPTEngine):
     """Tensor-sharded OPT-family engine."""
 
     def __init__(self, params: dict, cfg, mesh: Mesh, **kw):
+        self.overlap_chunks = kw.pop("overlap_chunks", 1)
         assert cfg.do_layer_norm_before, "OPTEngine supports pre-norm OPT"
         tp = mesh.shape["tp"]
         assert cfg.num_attention_heads % tp == 0, "heads must divide tp"
@@ -433,6 +468,7 @@ class TPFalconEngine(_TPMixin, FalconEngine):
     not supported yet (per-shard slope slicing not wired)."""
 
     def __init__(self, params: dict, cfg, mesh: Mesh, **kw):
+        self.overlap_chunks = kw.pop("overlap_chunks", 1)
         tp = mesh.shape["tp"]
         assert cfg.num_attention_heads % tp == 0, "heads must divide tp"
         if cfg.alibi and tp > 1:

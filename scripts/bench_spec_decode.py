@@ -49,7 +49,7 @@ def main():
     t0 = time.time()
     for _ in range(3):
         seq()
-    seq_tok_ms = (time.time() - t0) / 3 / 8
+    seq_tok_ms = (time.time() - t0) / 3 / 8 * 1e3
     print(f"# sequential step_n(8): {seq_tok_ms:.2f} ms/token "
           f"({batch/seq_tok_ms*1e3:.0f} tok/s aggregate)")
 
@@ -72,7 +72,7 @@ def main():
     n = 3
     for _ in range(n):
         fused()
-    round_ms = (time.time() - t0) / n / r
+    round_ms = (time.time() - t0) / n / r * 1e3
     print(f"# fused spec round (d={d}, gamma={g}, r={r}/dispatch): "
           f"{round_ms:.2f} ms/round = {round_ms/seq_tok_ms:.2f} seq-tokens")
     for alpha in (0.5, 0.7, 0.9, 1.0):

@@ -57,6 +57,59 @@ def main():
     print(f"FOLDHEAD {' '.join(f'{v:.8e}' for v in w_head)}", flush=True)
     print(f"WALL {dt:.3f}", flush=True)
 
+    # cross-host SERVING: dp continuous batching — each rank's host-local
+    # engine decodes its routed slot range; gather_tokens allgathers the
+    # global streams (serving/dp_serving.py). The pytest side compares
+    # against the single-process engine token-for-token.
+    toks = dp_serving_tokens_global()
+    import json as _json
+
+    print(f"SERVTOKS {_json.dumps(toks)}", flush=True)
+
+
+def serving_fixture():
+    """Deterministic tiny packed llama engine inputs (same on every rank
+    and in the single-process oracle)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from omniquant_tpu.models import LLAMA
+    from omniquant_tpu.models import llama as jllama
+    from omniquant_tpu.quant import QuantConfig
+    from omniquant_tpu.serving.export import pack_model
+
+    cfg = jllama.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64,
+    )
+    params = jllama.init_params(jax.random.PRNGKey(2), cfg)
+    wcfg = QuantConfig(n_bits=4, group_size=32)
+    fq = dict(params)
+    fq["layers"] = [
+        LLAMA.effective_block_weights(b, wcfg, None, None, cfg)
+        for b in params["layers"]
+    ]
+    packed = pack_model(LLAMA, fq, wcfg, tile_k=32)
+    rng = np.random.default_rng(17)
+    prompts = [list(map(int, rng.integers(0, 128, int(n))))
+               for n in rng.integers(3, 7, 5)]
+    return cfg, packed, prompts
+
+
+def dp_serving_tokens_global():
+    import jax.numpy as jnp
+
+    from omniquant_tpu.serving.dp_serving import DPServingCoordinator
+    from omniquant_tpu.serving.engine import LlamaEngine
+
+    cfg, packed, prompts = serving_fixture()
+    eng = LlamaEngine(packed, cfg, max_batch=4, max_len=32,
+                      dtype=jnp.float32)
+    coord = DPServingCoordinator(eng)
+    return coord.generate_all(prompts, max_new_tokens=9, step=4)
+
 
 def calibration_step_global(mesh, shard_fn, slice_fn, global_batch=4):
     """One dp x tp LWC/LET calibration step on a tiny llama block. Also used

@@ -108,3 +108,33 @@ def test_two_process_multistep_calibration_and_fold():
     ratio = max(walls) / max(wall_1p, 1e-9)
     print(f"2-process wall {max(walls):.2f}s vs 1-process {wall_1p:.2f}s "
           f"(ratio {ratio:.2f}; includes jax startup per process)")
+
+
+def test_two_process_dp_serving_matches_single_process():
+    """Cross-host continuous batching (dp over 2 processes): the GLOBAL
+    token streams gathered by every rank equal each other AND the
+    single-process engine's greedy streams for the same prompts
+    (serving/dp_serving.DPServingCoordinator)."""
+    import json
+
+    outs = _run_workers()
+    streams = [json.loads(re.search(r"SERVTOKS (.*)", o).group(1))
+               for o in outs]
+    assert streams[0] == streams[1], "ranks disagree on global streams"
+
+    # single-process oracle (no jax.distributed in this pytest process —
+    # run the same fixture through a worker-equivalent inline)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    sys.path.insert(0, str(REPO / "tests"))
+    from _multihost_worker import serving_fixture
+    from omniquant_tpu.serving.engine import LlamaEngine
+
+    cfg, packed, prompts = serving_fixture()
+    eng = LlamaEngine(packed, cfg, max_batch=8, max_len=32,
+                      dtype=jnp.float32)
+    for stream, prompt in zip(streams[0], prompts):
+        assert stream == eng.generate(prompt, max_new_tokens=9), prompt

@@ -241,3 +241,96 @@ def test_tp_engine_spec_decode(tiny_llama):
     sd = SpecDecoder(eng2, draft_layers=1, gamma=2)
     got = sd.generate(prompt, max_new_tokens=10)
     assert got == ref
+
+
+# ---------------------------------------------------------------------------
+# sampling mode (rejection-sampling acceptance)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def tiny_llama_v16():
+    """Small vocab so empirical distributions converge fast."""
+    cfg = jllama.LlamaConfig(
+        vocab_size=16, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256,
+    )
+    params = jllama.init_params(jax.random.PRNGKey(5), cfg)
+    return cfg, params
+
+
+def test_sampling_spec_full_acceptance_when_draft_is_target(tiny_llama):
+    """draft == target => q == p bit-for-bit => every proposal accepted
+    and rounds emit gamma+1 tokens."""
+    cfg, params = tiny_llama
+    eng = LlamaEngine(params, cfg, max_batch=2, max_len=128,
+                      dtype=jnp.float32)
+    sd = SpecDecoder(eng, draft_layers=cfg.num_hidden_layers, gamma=3)
+    slot = sd.add_request([5, 17, 9], temperature=0.7)
+    out = [sd._pending(slot)]
+    for _ in range(4):
+        emitted = sd.sample_spec_step({slot: out[-1]})[slot]
+        assert len(emitted) == sd.gamma + 1  # full acceptance + bonus
+        out.extend(emitted)
+    assert sd.acceptance_rate == 1.0
+
+
+def test_sampling_spec_rejects_greedy_slots_and_truncation(tiny_llama):
+    cfg, params = tiny_llama
+    eng = LlamaEngine(params, cfg, max_batch=2, max_len=64,
+                      dtype=jnp.float32)
+    sd = SpecDecoder(eng, draft_layers=1, gamma=2)
+    s0 = sd.add_request([5, 17])  # greedy
+    with pytest.raises(ValueError, match="temperature"):
+        sd.sample_spec_step({s0: 3})
+    sd.release(s0)
+    s1 = sd.add_request([5, 17], temperature=0.5, top_k=4)
+    with pytest.raises(ValueError, match="top_k"):
+        sd.sample_spec_step({s1: 3})
+
+
+def test_sampling_spec_first_token_distribution(tiny_llama_v16):
+    """The speculative-sampling identity: the FIRST emitted token of a
+    round is distributed exactly as target temperature sampling —
+    empirical frequencies over repeated rounds (same context, host rng
+    advancing) must match softmax(target_logits / T) in total variation."""
+    cfg, params = tiny_llama_v16
+    T = 0.9
+    eng = LlamaEngine(params, cfg, max_batch=1, max_len=256,
+                      dtype=jnp.float32)
+    sd = SpecDecoder(eng, draft_layers=1, gamma=2)
+    prompt = [5, 3, 11, 7]
+    slot = sd.add_request(prompt, temperature=T)
+    last = sd._pending(slot)
+    L = int(eng.lengths[slot])
+
+    # oracle p at this context from the full forward
+    toks = jnp.asarray(np.asarray(prompt + [last], np.int32)[None])
+    logits = np.asarray(jllama.forward(params, toks, cfg))[0, -1]
+    z = (logits / T).astype(np.float64)
+    z -= z.max()
+    p = np.exp(z) / np.exp(z).sum()
+
+    n = 1200
+    counts = np.zeros(cfg.vocab_size)
+    for _ in range(n):
+        emitted = sd.sample_spec_step({slot: last})[slot]
+        counts[emitted[0]] += 1
+        eng.lengths[slot] = L          # rewind: same context every trial
+        sd.draft.lengths[slot] = L
+    emp = counts / n
+    tv = 0.5 * np.abs(emp - p).sum()
+    # E[TV] ~ sqrt(V / (2 pi n)) ~ 0.046 here; 0.12 is a ~2.5x margin
+    assert tv < 0.12, (tv, emp, p)
+
+
+def test_sampling_spec_generate_runs(tiny_llama):
+    """generate(temperature>0) routes through sampling rounds and emits
+    max_new_tokens valid ids, falling back near the max_len ceiling."""
+    cfg, params = tiny_llama
+    eng = LlamaEngine(params, cfg, max_batch=2, max_len=32,
+                      dtype=jnp.float32, auto_grow=False)
+    sd = SpecDecoder(eng, draft_layers=1, gamma=2)
+    out = sd.generate([5, 17, 9, 2], max_new_tokens=24, temperature=0.8)
+    assert len(out) == 24
+    assert all(0 <= t < cfg.vocab_size for t in out)

@@ -211,3 +211,18 @@ def test_tp_packed_w4a4_int_path_matches_single(llama_setup):
                         max_len=64, dtype=jnp.float32, spec=spec)
     got = eng.generate(PROMPT, max_new_tokens=8)
     assert got == want, (got, want)
+
+
+def test_tp_engine_overlap_chunks_matches(llama_setup):
+    """overlap_chunks=2 serving engine emits token-for-token the same
+    stream as the unchunked TP engine (the chunked psum is pure
+    scheduling, not semantics)."""
+    cfg, fq, packed = llama_setup
+    mesh = make_mesh(dp=1, tp=2)
+    prompt = [5, 17, 99, 3]
+    ref = TPLlamaEngine(packed, cfg, mesh, max_batch=2, max_len=64,
+                        dtype=jnp.float32).generate(prompt, max_new_tokens=10)
+    got = TPLlamaEngine(packed, cfg, mesh, max_batch=2, max_len=64,
+                        dtype=jnp.float32,
+                        overlap_chunks=2).generate(prompt, max_new_tokens=10)
+    assert got == ref

@@ -197,3 +197,35 @@ def test_tp_packed_falcon(variant):
     got = fwd(layers, x)
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("chunks", [2, 4])
+def test_tp_overlap_chunked_psum_matches_unchunked(packed_llama, chunks):
+    """overlap_chunks splits each column-parallel site into independent
+    (matmul -> psum) pairs (all-reduce/compute overlap on real meshes);
+    the algebra must be exactly the unchunked forward."""
+    from omniquant_tpu.parallel.tp_forward import make_tp_forward
+
+    cfg, fq, packed = packed_llama
+    mesh = make_mesh(dp=1, tp=2)
+    make_fwd1, shard_block = make_tp_forward("llama", mesh, cfg)
+    make_fwdC, shard_blockC = make_tp_forward(
+        "llama", mesh, cfg, overlap_chunks=chunks)
+    layers = [shard_block(b) for b in packed["layers"]]
+    fwd1 = make_fwd1(layers)
+    fwdC = make_fwdC(layers)
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, 8, cfg.hidden_size)), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(fwdC(layers, x)), np.asarray(fwd1(layers, x)),
+        rtol=1e-6, atol=1e-6)
+
+
+def test_effective_overlap_chunks_geometry():
+    from omniquant_tpu.parallel.tp_forward import effective_overlap_chunks
+
+    assert effective_overlap_chunks(4096, 4) == 4
+    assert effective_overlap_chunks(256, 4) == 2   # 4 would break 128 lanes
+    assert effective_overlap_chunks(128, 4) == 1
+    assert effective_overlap_chunks(4096, 1) == 1
