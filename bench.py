@@ -246,6 +246,12 @@ class Bench:
                   f"{est_s:.0f}s", file=sys.stderr)
             self.skipped.append(name)
             return
+        import jax
+
+        live = [x for x in jax.live_arrays()
+                if getattr(x, "nbytes", 0) > (1 << 20)]
+        print(f"# [mem] before {name}: {len(live)} live arrays > 1MB, "
+              f"{sum(x.nbytes for x in live)/1e9:.2f} GB", file=sys.stderr)
         t0 = time.time()
         try:
             fn()

@@ -210,10 +210,11 @@ def _qmm_kernel(x_ref, qw_ref, sc_ref, zp_ref, out_ref, acc_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("bits", "group_size", "out_features", "block_n",
-                     "tile_k", "layout", "interpret"),
+                     "tile_k", "layout", "interpret", "block_m"),
 )
 def _qmm_call(x, qweight, scales_t, zeros_t, bits, group_size,
-              out_features, block_n, tile_k, interpret, layout="planar"):
+              out_features, block_n, tile_k, interpret, layout="planar",
+              block_m=None):
     m, k = x.shape
     bk = tile_k  # one K tile == one pack tile (layout parameter)
     k_pad = rows_per_words(bits, qweight.shape[0], layout)
@@ -225,8 +226,9 @@ def _qmm_call(x, qweight, scales_t, zeros_t, bits, group_size,
     gs_rows = group_size if group_size else bk
     nk = k_pad // bk
     # tile M so large-batch/prefill GEMMs keep the x tile + f32 accumulator
-    # inside scoped VMEM (decode's m stays a single tile: nm == 1)
-    bm = min(256, -(-m // 8) * 8)
+    # inside scoped VMEM (decode's m stays a single tile: nm == 1);
+    # block_m overrides for tiling experiments (scripts/exp_prefill_tiles)
+    bm = block_m or min(256, -(-m // 8) * 8)
     m_pad = -(-m // bm) * bm
     if m_pad != m:
         x = jnp.pad(x, ((0, m_pad - m), (0, 0)))

@@ -206,9 +206,19 @@ def test_offload_layers_matches_resident(tiny_opt, calib_data):
 def test_main_exposes_pile_choice_and_dispatch(tmp_path):
     """--calib_dataset pile parses (reference main.py:201 parity) and
     get_loaders('pile') routes to the jsonl pile loader."""
+    import importlib.util
     import json
-    import main as cli
+    import pathlib
     from omniquant_tpu.calib.data import get_loaders
+
+    # import the REPO's main.py by explicit path: reference-parity fixtures
+    # put /root/reference on sys.path, whose main.py would shadow ours
+    # depending on test ordering
+    root = pathlib.Path(__file__).resolve().parent.parent
+    spec = importlib.util.spec_from_file_location("_repo_main",
+                                                  root / "main.py")
+    cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cli)
 
     args = cli.build_parser().parse_args(
         ["--model", "x", "--calib_dataset", "pile"])

@@ -15,9 +15,7 @@ import numpy as np
 import pytest
 import jax.numpy as jnp
 
-sys.path.insert(0, "/root/reference")
-
-from test_reference_parity import (  # noqa: E402 — same-dir test helpers
+from test_reference_parity import (  # same-dir test helpers
     _quant_args, _register_ref_let_params, _tiny_hf_llama, _OldRotary)
 
 
@@ -25,6 +23,10 @@ from test_reference_parity import (  # noqa: E402 — same-dir test helpers
 def ref_checkpoint(tmp_path_factory):
     """A 2-layer reference-format omni_parameters.pth from the torch
     reference itself, plus the source layers for value comparison."""
+    # path insertion INSIDE the fixture: a module-level insert would shadow
+    # repo modules (main, models, ...) for every later-collected test
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
     import torch
     from models.int_llama_layer import QuantLlamaDecoderLayer
 
