@@ -81,7 +81,13 @@ PREFILL_LEN = 128
 MAX_LEN = 512
 
 _T0 = time.time()
-_BUDGET = float(os.environ.get("BENCH_BUDGET_S", "1200"))
+# default sized against the driver's observed timeout (>= ~1500s in r03):
+# the headline stage alone can cost 600-1100s (the tunnel runtime's
+# one-time first-execution tax, docs/bench_infrastructure.md), after which
+# stages run 60-150s each; the guard pre-skips what cannot fit so the
+# process exits 0, and the per-stage cumulative JSON emission means even
+# an external kill loses nothing already measured
+_BUDGET = float(os.environ.get("BENCH_BUDGET_S", "1700"))
 
 
 def remaining() -> float:
@@ -90,20 +96,23 @@ def remaining() -> float:
 
 def build_7b_packed_params(cfg, dtype, bits: int = 4, layout: str = "auto"):
     """Random 7B-geometry packed weights. Layers share the same packed
-    buffers (identical shapes) — timing-equivalent to distinct weights while
-    keeping host-side generation fast."""
+    buffers (identical shapes) — timing-equivalent to distinct weights.
+    Weights are generated ON DEVICE (jax.random): host-side numpy + the
+    tunneled host->device transfer cost 50-80s per build (~1 GB of f32),
+    which multiplied across the per-scheme stages ate minutes of the
+    sweep budget."""
+    import jax
     import jax.numpy as jnp
 
     from omniquant_tpu.quant import QuantConfig, pack_weight
 
-    rng = np.random.default_rng(0)
     wcfg = QuantConfig(n_bits=bits, group_size=128)
     H, I = cfg.hidden_size, cfg.intermediate_size
     kv = cfg.num_key_value_heads * cfg.head_dim
 
     def pw(out_f, in_f, seed):
-        w = jnp.asarray(
-            rng.standard_normal((out_f, in_f)).astype(np.float32) * 0.02)
+        w = jax.random.normal(
+            jax.random.PRNGKey(seed), (out_f, in_f), jnp.float32) * 0.02
         return pack_weight(w, wcfg, layout=layout)
 
     shared = {
@@ -121,9 +130,9 @@ def build_7b_packed_params(cfg, dtype, bits: int = 4, layout: str = "auto"):
          "post_attention_layernorm": dict(norm)}
         for _ in range(cfg.num_hidden_layers)
     ]
-    embed = jnp.asarray(
-        rng.standard_normal((cfg.vocab_size, H)).astype(np.float32) * 0.02,
-        dtype)
+    embed = (jax.random.normal(
+        jax.random.PRNGKey(99), (cfg.vocab_size, H), jnp.float32)
+        * 0.02).astype(dtype)
     return {
         "embed_tokens": embed,
         "layers": layers,
@@ -144,6 +153,52 @@ def free_buffers(*trees):
                     x.delete()
                 except Exception:
                     pass
+
+
+_PARAM_CACHE = {}
+
+
+def get_params(cfg, dtype, bits=4, layout="auto"):
+    """Stage-shared packed params: geometry depends only on (bits, layout)
+    — max_position_embeddings is an engine property — so the sweep builds
+    each scheme's params ONCE (a build costs ~47 s of pack dispatches
+    through the tunnel; the old per-stage builds ate ~4 min)."""
+    key = (bits, layout)
+    if key not in _PARAM_CACHE:
+        _PARAM_CACHE[key] = build_7b_packed_params(
+            cfg, dtype, bits=bits, layout=layout)
+    return _PARAM_CACHE[key]
+
+
+def free_engine(eng):
+    """Free an engine's cache + its PREPPED param buffers (fuse_packed
+    copies) without touching the raw buffers shared via _PARAM_CACHE."""
+    import jax
+
+    keep = {id(x) for p in _PARAM_CACHE.values()
+            for x in jax.tree.leaves(p)}
+    free_buffers(eng.cache)
+    for x in jax.tree.leaves(eng.params):
+        if hasattr(x, "delete") and id(x) not in keep:
+            try:
+                x.delete()
+            except Exception:
+                pass
+
+
+def drop_params(bits, layout="auto"):
+    """Evict one scheme's raw params (schemes whose stages are done):
+    keeping every scheme cached would exceed HBM (W4+W3+W4planar+W6+W2
+    ~ 17 GB against 16)."""
+    v = _PARAM_CACHE.pop((bits, layout), None)
+    if v is not None:
+        free_buffers(v)
+
+
+def free_param_cache():
+    for v in _PARAM_CACHE.values():
+        free_buffers(v)
+    _PARAM_CACHE.clear()
 
 
 def make_cfg(max_len):
@@ -258,6 +313,18 @@ class Bench:
         except Exception as exc:
             print(f"# {name} failed: {exc}", file=sys.stderr)
             self.extras[f"{name}_error"] = str(exc)[:200]
+        # a failed stage's half-built params/caches would otherwise stay
+        # referenced (traceback frames / async deletion) and cascade OOM
+        # into every later stage — collect + re-check
+        import gc
+
+        gc.collect()
+        live = [x for x in jax.live_arrays()
+                if getattr(x, "nbytes", 0) > (1 << 20)]
+        if live:
+            print(f"# [mem] after {name}: {len(live)} live arrays > 1MB, "
+                  f"{sum(x.nbytes for x in live)/1e9:.2f} GB",
+                  file=sys.stderr)
         print(f"# stage {name} took {time.time() - t0:.0f}s "
               f"({remaining():.0f}s budget left)", file=sys.stderr)
         self.emit()
@@ -289,7 +356,7 @@ def main():
 
     # --- stage 1: headline W4A16g128, bf16 KV, batch 32 ---
     t0 = time.time()
-    params = build_7b_packed_params(cfg, jnp.bfloat16, bits=4)
+    params = get_params(cfg, jnp.bfloat16, bits=4)
     print(f"# built W4 packed params in {time.time() - t0:.0f}s",
           file=sys.stderr)
     w_bytes = weight_bytes(params)
@@ -308,28 +375,63 @@ def main():
     b.extras["roofline_basis"] = (
         f"{step_bytes / 1e9:.2f} GB/step @ {MEASURED_PEAK_GBPS:.0f} GB/s "
         f"measured peak")
-    free_buffers(eng.cache, eng.params, params)
-    del eng, params
+    free_engine(eng)
+    del eng
     b.emit()
 
-    # --- stage 2+3: weight-activation schemes on the int8 MXU (planar
+    # --- stage 2: W3 batch-32 — the contiguous pairs-3 layout (this
+    # round's "W3 must beat W4" deliverable) runs right after the headline
+    # so a budget cut can't lose it ---
+    def wo_stage(bits, key):
+        def run():
+            p = get_params(cfg, jnp.bfloat16, bits=bits)
+            wb = weight_bytes(p)
+            ts, sm, _, e = decode_tok_s(
+                p, cfg, BATCH, MAX_LEN, label=f"w{bits}g128")
+            b.extras[f"{key}_tok_s"] = round(ts, 1)
+            im, _ = ideal_step_ms(wb, BATCH, kv_bucket)
+            b.extras[f"{key}_pct_roofline"] = round(100 * im / sm, 1)
+            free_engine(e)
+        return run
+
+    # batch-8 weight-bound points (packed-byte advantage dominates:
+    # kv ~1.1 GB vs 1.8-3.7 GB of weights); run adjacent to each scheme's
+    # batch-32 stage so params are built once and evicted after
+    def b8_stage(bits, key):
+        def run():
+            p = get_params(cfg, jnp.bfloat16, bits=bits)
+            wb = weight_bytes(p)
+            ts, sm, _, e = decode_tok_s(
+                p, cfg, 8, MAX_LEN, label=f"w{bits}g128-b8")
+            b.extras[f"{key}_b8_tok_s"] = round(ts, 1)
+            im, _ = ideal_step_ms(wb, 8, kv_bucket)
+            b.extras[f"{key}_b8_pct_roofline"] = round(100 * im / sm, 1)
+            free_engine(e)
+        return run
+
+    b.stage("w3g128", wo_stage(3, "w3g128"), est_s=180)
+    b.stage("w3g128_b8", b8_stage(3, "w3g128"), est_s=150)
+    drop_params(3)
+
+    # --- weight-activation schemes on the int8 MXU (planar
     # codes — the int kernel's unpack-to-int prefers the plane layout).
     # These are HALF the named headline metric ("... & W4A4") — they run
     # before every nice-to-have. ---
     def wa_stage(wb_, ab_, key):
         def run():
-            p = build_7b_packed_params(cfg, jnp.bfloat16, bits=wb_,
-                                       layout="planar")
+            p = get_params(cfg, jnp.bfloat16, bits=wb_, layout="planar")
             ts, sm, _, e = decode_tok_s(
                 p, cfg, BATCH, MAX_LEN, label=f"w{wb_}a{ab_}",
                 spec=ActQuantSpec.from_bits(ab_))
             b.extras[f"{key}_tok_s"] = round(ts, 1)
             b.extras[f"{key}_step_ms"] = round(sm, 2)
-            free_buffers(e.cache, e.params, p)
+            free_engine(e)
         return run
 
     b.stage("w4a4", wa_stage(4, 4, "w4a4"), est_s=240)
+    drop_params(4, "planar")
     b.stage("w6a6", wa_stage(6, 6, "w6a6"), est_s=240)
+    drop_params(6, "planar")
 
     # --- stage 4: speculative decoding (layer-skip self-draft) ---
     def spec_stage():
@@ -338,7 +440,7 @@ def main():
 
         batch, d, g, r = 8, 4, 4, 4
         scfg = make_cfg(1024)
-        p = build_7b_packed_params(scfg, jnp.bfloat16, bits=4)
+        p = get_params(scfg, jnp.bfloat16, bits=4)
         eng = LlamaEngine(p, scfg, max_batch=batch, max_len=1024,
                           dtype=jnp.bfloat16)
         rng = np.random.default_rng(2)
@@ -390,7 +492,8 @@ def main():
               f"{round_ms/seq_tok_ms:.2f} seq-tokens, accept "
               f"{sd.acceptance_rate:.3f} (random-weight floor)",
               file=sys.stderr)
-        free_buffers(eng.cache, sd.draft.cache, eng.params, p)
+        free_engine(eng)
+        free_engine(sd.draft)
 
     b.stage("spec_decode", spec_stage, est_s=240)
 
@@ -400,14 +503,10 @@ def main():
     # (measured XLA OOM: 23.8 GB requested) — the config the TP engine's
     # head-sharded cache exists for ---
     cfg2 = make_cfg(2048)
-    kv_state = {}
 
     def kv2048_stage(batch, key):
         def run():
-            if "params" not in kv_state:
-                kv_state["params"] = build_7b_packed_params(
-                    cfg2, jnp.bfloat16, bits=4)
-            p = kv_state["params"]
+            p = get_params(cfg2, jnp.bfloat16, bits=4)
             ts, sm, _, e = decode_tok_s(
                 p, cfg2, batch, 2048, kv_dtype="int8", force_len=2000,
                 label=f"kv2048-int8-b{batch}")
@@ -444,69 +543,40 @@ def main():
                       f"{dt*1e3:.0f} ms "
                       f"({b.extras['prefill_long_tok_s']} tok/s, MFU "
                       f"{b.extras['prefill_mfu_pct']}%)", file=sys.stderr)
-            free_buffers(e.cache)  # params shared across both batches
+            free_engine(e)
         return run
 
     b.stage("kv2048_int8", kv2048_stage(8, "kv2048_int8_tok_s"), est_s=240)
     b.stage("kv2048_int8_b16", kv2048_stage(16, "kv2048_int8_b16_tok_s"),
             est_s=180)
-    if "params" in kv_state:
-        free_buffers(kv_state.pop("params"))
 
-    # --- stages 7+8: W3/W2 batch-32 aggregate ---
-    def wo_stage(bits, key):
-        def run():
-            p = build_7b_packed_params(cfg, jnp.bfloat16, bits=bits)
-            wb = weight_bytes(p)
-            ts, sm, _, e = decode_tok_s(
-                p, cfg, BATCH, MAX_LEN, label=f"w{bits}g128")
-            b.extras[f"{key}_tok_s"] = round(ts, 1)
-            im, _ = ideal_step_ms(wb, BATCH, kv_bucket)
-            b.extras[f"{key}_pct_roofline"] = round(100 * im / sm, 1)
-            free_buffers(e.cache, e.params, p)
-        return run
-
-    b.stage("w3g128", wo_stage(3, "w3g128"), est_s=180)
     b.stage("w2g128", wo_stage(2, "w2g128"), est_s=180)
+    b.stage("w2g128_b8", b8_stage(2, "w2g128"), est_s=150)
+    drop_params(2)
 
     # --- stage 9: int8 KV at the headline setting: the quantized KV cache
     # (a BASELINE.json north-star feature the reference never had) halves
     # the cache half of the step's traffic ---
     def int8kv_stage():
-        p = build_7b_packed_params(cfg, jnp.bfloat16, bits=4)
+        p = get_params(cfg, jnp.bfloat16, bits=4)
         ts, sm, _, e = decode_tok_s(
             p, cfg, BATCH, MAX_LEN, kv_dtype="int8", label="w4g128-int8kv")
         b.extras["w4_int8kv_tok_s"] = round(ts, 1)
         im, _ = ideal_step_ms(weight_bytes(p), BATCH, kv_bucket,
                               kv_itemsize=1)
         b.extras["w4_int8kv_pct_roofline"] = round(100 * im / sm, 1)
-        free_buffers(e.cache, e.params, p)
+        free_engine(e)
 
     b.stage("w4_int8kv", int8kv_stage, est_s=180)
 
-    # --- stage 10: batch-8 weight-bound points (packed-byte advantage
-    # dominates: kv ~1.1 GB vs 1.8-3.7 GB of weights) ---
-    def b8_stage(bits, key):
-        def run():
-            p = build_7b_packed_params(cfg, jnp.bfloat16, bits=bits)
-            wb = weight_bytes(p)
-            ts, sm, _, e = decode_tok_s(
-                p, cfg, 8, MAX_LEN, label=f"w{bits}g128-b8")
-            b.extras[f"{key}_b8_tok_s"] = round(ts, 1)
-            im, _ = ideal_step_ms(wb, 8, kv_bucket)
-            b.extras[f"{key}_b8_pct_roofline"] = round(100 * im / sm, 1)
-            free_buffers(e.cache, e.params, p)
-        return run
-
-    for bits in (4, 3, 2):
-        b.stage(f"w{bits}g128_b8", b8_stage(bits, f"w{bits}g128"), est_s=150)
+    b.stage("w4g128_b8", b8_stage(4, "w4g128"), est_s=150)
 
     # --- stage 11: one timed auto_grow doubling mid-decode ---
     def autogrow_stage():
         from omniquant_tpu.serving.engine import LlamaEngine
 
         gcfg = make_cfg(1024)
-        p = build_7b_packed_params(gcfg, jnp.bfloat16, bits=4)
+        p = get_params(gcfg, jnp.bfloat16, bits=4)
         e = LlamaEngine(p, gcfg, max_batch=8, max_len=512,
                         dtype=jnp.bfloat16, auto_grow=True)
         rng = np.random.default_rng(7)
@@ -522,7 +592,7 @@ def main():
         print(f"# [autogrow] 512->1024 grow + step_n(8): "
               f"{b.extras['autogrow_ms']} ms (incl. first 1024-bucket "
               f"compile)", file=sys.stderr)
-        free_buffers(e.cache, e.params, p)
+        free_engine(e)
 
     b.stage("autogrow", autogrow_stage, est_s=150)
 
@@ -531,7 +601,7 @@ def main():
         from omniquant_tpu.eval.harness.base import JaxLM
         from omniquant_tpu.models import LLAMA
 
-        p = build_7b_packed_params(cfg, jnp.bfloat16, bits=4)
+        p = get_params(cfg, jnp.bfloat16, bits=4)
         lm = JaxLM(LLAMA, p, cfg, tokenizer=None, seqlen=MAX_LEN,
                    batch_size=32)
         rng = np.random.default_rng(9)
@@ -550,10 +620,10 @@ def main():
         print(f"# [eval] {n_docs} piqa-shaped docs ({len(pairs)} "
               f"loglikelihood reqs) in {dt:.2f}s = "
               f"{b.extras['eval_docs_per_s']} docs/s", file=sys.stderr)
-        free_buffers(p)
 
     b.stage("eval_throughput", eval_stage, est_s=150)
 
+    free_param_cache()
     b.emit(final=True)
 
 

@@ -229,3 +229,39 @@ def test_effective_overlap_chunks_geometry():
     assert effective_overlap_chunks(256, 4) == 2   # 4 would break 128 lanes
     assert effective_overlap_chunks(128, 4) == 1
     assert effective_overlap_chunks(4096, 1) == 1
+
+
+def test_tp_packed_w3_pairs_layout():
+    """Column-parallel sharding of the contiguous pairs-3 layout (10
+    codes/word, tile 640): packed rows must split on whole-tile boundaries
+    and the TP forward must equal the dense fake-quant trunk."""
+    from omniquant_tpu.parallel.tp_forward import make_tp_forward
+
+    cfg = jllama.LlamaConfig(
+        vocab_size=128, hidden_size=1280, intermediate_size=1280,
+        num_hidden_layers=1, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=32,
+    )
+    params = jllama.init_params(jax.random.PRNGKey(2), cfg)
+    wcfg = QuantConfig(n_bits=3, group_size=128)
+    fq = dict(params)
+    fq["layers"] = [
+        LLAMA.effective_block_weights(b, wcfg, None, None, cfg)
+        for b in params["layers"]
+    ]
+    packed = pack_model(LLAMA, fq, wcfg)
+    pw = packed["layers"][0]["down_proj"]
+    assert (pw.layout, pw.tile_k) == ("pairs", 640)
+
+    mesh = make_mesh(dp=1, tp=2)
+    make_fwd, shard_block = make_tp_forward("llama", mesh, cfg)
+    layers = [shard_block(b) for b in packed["layers"]]
+    fwd = make_fwd(layers)
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((1, 8, cfg.hidden_size)),
+                    jnp.float32)
+    ref = x
+    for b in fq["layers"]:
+        ref, _ = LLAMA.block_forward(b, ref, cfg)
+    np.testing.assert_allclose(
+        np.asarray(fwd(layers, x)), np.asarray(ref), rtol=2e-4, atol=2e-4)
