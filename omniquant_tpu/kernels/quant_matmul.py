@@ -27,7 +27,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..quant.packing import (
-    PackedWeight, pack_tile, rows_per_words, vals_per_word, words_per_rows)
+    PackedWeight, dequantize_packed, pack_tile, rows_per_words, vals_per_word,
+    words_per_rows)
 
 
 def _unpack_planar_tile(u, bits: int):
@@ -319,15 +320,27 @@ def quant_matmul(x: jax.Array, pw: PackedWeight, block_n: int = 2048,
     # carries the global dims (parallel/tp_forward.py's _fix_local_pw does
     # the same for its callers)
     n = pw.qweight.shape[1]
-    # NOTE on large-M (prefill): a dequantize-once + dense-MXU variant was
-    # measured SLOWER end-to-end (6042 vs 6815 tok/s at 8x1024 prefill,
-    # +3.6x compile) — prefill is MXU-bound at ~48% MFU, so the fused
-    # kernel's per-m-tile re-unpack rides under the matmul. Keep the fused
-    # path at every M.
     # fall back to the dense-dequant path when N doesn't tile onto lanes
     if n % 128 != 0:
         return quant_matmul_reference(x, pw).reshape(*orig_shape[:-1], n)
     bn = next(b for b in (block_n, 1024, 512, 256, 128) if n % b == 0)
+    # Large-M (prefill) routing, from a queue-and-sync-once sweep on v5e
+    # (scripts/exp_prefill_tiles.py; docs/bench_infrastructure.md for the
+    # measurement methodology): when N forces the fused kernel below a
+    # 1024-lane tile (e.g. gate/up at 11008 -> bn=256, fused 30% MFU),
+    # dequantize-ONCE + dense MXU matmul is 30-60% faster at m >= 4096
+    # (49% MFU); at bn >= 1024 the fused kernel matches or beats it
+    # (down_proj 50.1% vs 45.8%), so those stay fused at every M.
+    if m >= 4096 and bn < 1024 and not interpret:
+        w = dequantize_packed(pw, dtype=x.dtype)  # (k_pad, n)
+        x2 = x.reshape(m, orig_shape[-1])
+        pad = w.shape[0] - x2.shape[-1]
+        if pad:
+            x2 = jnp.pad(x2, ((0, 0), (0, pad)))
+        y = x2 @ w
+        if pw.bias is not None:
+            y = y + pw.bias.astype(y.dtype)
+        return y.reshape(*orig_shape[:-1], n)
     x2 = x.reshape(m, orig_shape[-1])
     scales_t = pw.scales.T.astype(jnp.float32)  # (G, out)
     zeros_t = pw.zeros.T.astype(jnp.float32)

@@ -338,3 +338,20 @@ def test_kernel_large_m(layout):
     ref = quant_matmul_reference(x, pw)
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-3)
+
+
+def test_kernel_large_m_dequant_once_route():
+    """m>=4096 with bn<1024 (N not divisible by 1024 — the gate/up
+    geometry) routes through dequantize-once + dense matmul (measured
+    30-60% faster on v5e where the fused kernel is forced to small lane
+    tiles; scripts/exp_prefill_tiles.py). The route is pure jnp, so
+    interpret=False works even on CPU — which also proves the fused
+    pallas path was NOT taken."""
+    pw = make_packed_layout(4, 128, out_f=384, in_f=512, seed=41,
+                            layout="pairs")
+    rng = np.random.default_rng(42)
+    x = jnp.asarray(rng.standard_normal((4096, 512)).astype(np.float32))
+    got = quant_matmul(x, pw, interpret=False)  # dense route, no pallas
+    ref = quant_matmul_reference(x, pw)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-3)
