@@ -1,4 +1,11 @@
 """pairs vs planar layout decode-GEMM throughput on the real TPU."""
+
+# NOTE: block_until_ready is a NO-OP on the tunneled axon backend — any
+# timing below that relies on it under-reports. Use the queue-N-dispatches
+# + single host-readback pattern instead (scripts/exp_prefill_tiles.py,
+# docs/bench_infrastructure.md). Engine-level timings (step_n/add_requests)
+# are unaffected: they sync via host token transfers.
+
 import sys
 import time
 

@@ -4,6 +4,13 @@ the tunneled chip's per-dispatch overhead (~1.3 ms) amortizes away; reports
 per-GEMM ms + effective packed-weight streaming GB/s (a scheme far below
 the chip's ~437 GB/s peak at small bytes/step is VPU-unpack-bound, not
 HBM-bound)."""
+
+# NOTE: block_until_ready is a NO-OP on the tunneled axon backend — any
+# timing below that relies on it under-reports. Use the queue-N-dispatches
+# + single host-readback pattern instead (scripts/exp_prefill_tiles.py,
+# docs/bench_infrastructure.md). Engine-level timings (step_n/add_requests)
+# are unaffected: they sync via host token transfers.
+
 import sys
 import time
 

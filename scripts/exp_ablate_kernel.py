@@ -5,6 +5,13 @@
   dense   plain bf16 matmul kernel at the same logical shape (w streamed
           as bf16 = 4x the packed bytes for W4)
 """
+
+# NOTE: block_until_ready is a NO-OP on the tunneled axon backend — any
+# timing below that relies on it under-reports. Use the queue-N-dispatches
+# + single host-readback pattern instead (scripts/exp_prefill_tiles.py,
+# docs/bench_infrastructure.md). Engine-level timings (step_n/add_requests)
+# are unaffected: they sync via host token transfers.
+
 import functools
 import sys
 import time

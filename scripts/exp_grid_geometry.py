@@ -2,6 +2,13 @@
 Times the current kernel at different (tile_k, block_n) grid geometries.
 If time tracks cell count rather than bytes, coarser grids win sub-4-bit
 its bandwidth advantage back."""
+
+# NOTE: block_until_ready is a NO-OP on the tunneled axon backend — any
+# timing below that relies on it under-reports. Use the queue-N-dispatches
+# + single host-readback pattern instead (scripts/exp_prefill_tiles.py,
+# docs/bench_infrastructure.md). Engine-level timings (step_n/add_requests)
+# are unaffected: they sync via host token transfers.
+
 import sys
 import time
 

@@ -10,6 +10,13 @@ Variants (coarse-group g128, M=32 decode shape):
            rank-1 "-1" correction fold into the scale slabs, so the VPU
            never converts int->float and never touches 16-bit lanes
 """
+
+# NOTE: block_until_ready is a NO-OP on the tunneled axon backend — any
+# timing below that relies on it under-reports. Use the queue-N-dispatches
+# + single host-readback pattern instead (scripts/exp_prefill_tiles.py,
+# docs/bench_infrastructure.md). Engine-level timings (step_n/add_requests)
+# are unaffected: they sync via host token transfers.
+
 import functools
 import sys
 import time

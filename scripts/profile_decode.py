@@ -6,6 +6,13 @@ bandwidth so the roofline gap (VERDICT #3) is attributable.
 Run each phase as its own process so HBM is free between them:
   for p in mm attn head engine; do python -m scripts.profile_decode --phase $p; done
 """
+
+# NOTE: block_until_ready is a NO-OP on the tunneled axon backend — any
+# timing below that relies on it under-reports. Use the queue-N-dispatches
+# + single host-readback pattern instead (scripts/exp_prefill_tiles.py,
+# docs/bench_infrastructure.md). Engine-level timings (step_n/add_requests)
+# are unaffected: they sync via host token transfers.
+
 import argparse
 import time
 
