@@ -76,7 +76,8 @@ BASELINE_TOK_S = 134.2
 MEASURED_PEAK_GBPS = 437.0  # elementwise r+w microbenchmark, this chip
 PEAK_BF16_TFLOPS = 197.0    # v5e MXU bf16 peak
 BATCH = 32
-DECODE_STEPS = 24
+DECODE_STEPS = 48  # 6 x step_n(8); 24 showed +-7% run-to-run on the
+# tunneled chip (dispatch-latency noise over a ~0.5s window)
 PREFILL_LEN = 128
 MAX_LEN = 512
 

@@ -97,6 +97,7 @@ class DPServingCoordinator:
         if rid in self._slot_of:
             self.engine.release(self._slot_of.pop(rid))
             self._pending.pop(rid, None)
+        self._tokens.pop(rid, None)
 
     # ------------------------------------------------------------------
     def step_n(self, n: int = 8) -> None:
