@@ -18,7 +18,7 @@ Stage order is importance-first (headline -> w4a4/w6a6 -> spec decode ->
 kv2048 long-window -> weight-only extras -> batch-8 points -> auto-grow
 -> eval throughput): the stages that name the BASELINE.json metric run
 before nice-to-haves, so a budget cut costs the least-important numbers.
-A wall-clock guard (BENCH_BUDGET_S, default 1200s) skips remaining stages
+A wall-clock guard (BENCH_BUDGET_S, default 1700s) skips remaining stages
 — recording them in "skipped" — rather than letting the driver's timeout
 kill the process mid-stage. Compiles go through the persistent JAX
 compilation cache under cache/jax_cache/ (same dir across runs in this

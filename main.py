@@ -69,10 +69,12 @@ def build_parser():
                         "reference's --multigpu analog, but real TP over a "
                         "device mesh with XLA collectives)")
     p.add_argument("--tp_overlap", type=int, default=1,
-                   help="split each TP column-parallel site into this many "
+                   help="SERVING path (--serve_prompt with --tp>1): split "
+                        "each TP column-parallel site into this many "
                         "independent (quant-matmul -> psum) chunks so XLA "
-                        "overlaps all-reduce k with matmul k+1 "
-                        "(parallel/tp_forward._col_linear_psum)")
+                        "overlaps all-reduce k with matmul k+1. The eval "
+                        "path's dense TP is XLA-auto-partitioned and "
+                        "ignores this flag")
     p.add_argument("--sp", type=int, default=1,
                    help="sequence-parallel degree for calibration at "
                         "seqlen > 2048: activation buffers shard on the "
@@ -112,9 +114,11 @@ def build_parser():
                    help="serving sampling temperature (0 = greedy)")
     p.add_argument("--spec_decode", type=int, default=0, metavar="GAMMA",
                    help="speculative decoding with GAMMA proposals per "
-                        "round (greedy only; layer-skip self-draft of "
-                        "--draft_layers blocks — output is exactly the "
-                        "plain greedy stream, only faster)")
+                        "round (layer-skip self-draft of --draft_layers "
+                        "blocks). Greedy (--temperature 0): output is "
+                        "exactly the plain greedy stream; with "
+                        "--temperature > 0: rejection-sampling acceptance "
+                        "(distributed as plain target sampling)")
     p.add_argument("--draft_layers", type=int, default=4,
                    help="blocks in the layer-skip self-draft")
     return p
@@ -345,7 +349,11 @@ def main(argv=None):
             num_fewshot=args.num_fewshot,
             limit=None if args.limit < 0 else args.limit,
             spec=cc.act_quant_spec, logger=logger,
-            cache_db=args.eval_cache or None)
+            cache_db=args.eval_cache or None,
+            cache_fingerprint="|".join(map(str, (
+                args.net, args.model, args.wbits, args.abits,
+                args.group_size, args.lwc, args.let, args.symmetric,
+                args.epochs, args.resume, args.seed))))
         results.update(t_results)
 
     if args.serve_prompt is not None:

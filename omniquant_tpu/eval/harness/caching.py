@@ -18,8 +18,15 @@ from .base import LM
 
 
 class CachingLM(LM):
-    def __init__(self, lm: LM, cache_db: str):
+    """fingerprint: an identity string for the WRAPPED model + quant
+    config. It is mixed into every cache key, so one sqlite file reused
+    across different models/schemes can never return another config's
+    scores (without it, a --wbits 3 re-run against a --wbits 4 cache
+    would silently report the W4 accuracies)."""
+
+    def __init__(self, lm: LM, cache_db: str, fingerprint: str = ""):
         self.lm = lm
+        self.fingerprint = fingerprint
         os.makedirs(os.path.dirname(os.path.abspath(cache_db)), exist_ok=True)
         self.conn = sqlite3.connect(cache_db)
         self.conn.execute(
@@ -28,7 +35,8 @@ class CachingLM(LM):
         self.conn.commit()
 
     def _key(self, reqtype: str, args) -> str:
-        payload = json.dumps([reqtype, list(args)], sort_keys=True)
+        payload = json.dumps([self.fingerprint, reqtype, list(args)],
+                             sort_keys=True)
         return hashlib.sha256(payload.encode()).hexdigest()
 
     def _cached_call(self, reqtype: str, requests):

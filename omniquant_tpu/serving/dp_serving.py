@@ -72,7 +72,32 @@ class DPServingCoordinator:
         Returns their global request ids. Each host prefills only the
         prompts routed to it (host-local data: a real deployment tokenizes
         only its own shard — the serving analog of per-host calibration
-        data loading)."""
+        data loading).
+
+        Admission control is SPMD-consistent: every rank computes every
+        host's post-submit occupancy from the shared bookkeeping and
+        raises the SAME error on ALL ranks when any host would exceed its
+        engine capacity — a single-rank engine error here would leave the
+        other ranks blocked forever in the next process_allgather."""
+        cap = self.engine.max_batch  # same engine config on every host
+        occupancy = [0] * self.nproc
+        for rid, host in self._host_of.items():
+            occupancy[host] += 1
+        planned = [
+            occupancy[self.route(self._next_id + i)]
+            + sum(1 for j in range(i + 1)
+                  if self.route(self._next_id + j)
+                  == self.route(self._next_id + i))
+            for i in range(len(prompts))
+        ]
+        for i, need in enumerate(planned):
+            if need > cap:
+                raise RuntimeError(
+                    f"submit of {len(prompts)} prompts would put "
+                    f"{need} requests on host "
+                    f"{self.route(self._next_id + i)} (engine capacity "
+                    f"{cap}); release requests or submit fewer "
+                    "(raised identically on every rank)")
         ids = []
         mine = []
         for p in prompts:

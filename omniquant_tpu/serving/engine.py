@@ -809,20 +809,14 @@ class LlamaEngine:
             res[s] = out[s].tolist()
         return res
 
-    def verify_step(self, tokens: dict) -> dict:
-        """Speculative-decoding verify: tokens {slot: [s tokens]} (same s
-        for every slot) are scored in ONE device pass; their KV is written
-        at positions lengths..lengths+s-1. Does NOT advance `lengths` —
-        the caller advances by however many tokens it accepts (unaccepted
-        cache entries sit beyond `lengths`, are never attended, and are
-        overwritten by later writes). Returns {slot: [s argmax tokens]}
-        where entry i is the model's next-token after tokens[:i+1].
-        Greedy-only (the spec-decode acceptance rule is exact argmax
-        equality)."""
+    def _verify_call(self, tokens: dict, return_logits: bool):
+        """Shared body of verify_step/verify_step_logits: validate, build
+        the (B, s) token buffer, bucket the kv window, run _verify (which
+        writes KV at lengths..lengths+s-1 WITHOUT advancing lengths)."""
         s = len(next(iter(tokens.values())))
         if not all(len(t) == s for t in tokens.values()):
             raise ValueError(
-                "verify_step requires the same number of tokens per slot "
+                "verify requires the same number of tokens per slot "
                 f"(got lengths {sorted(set(len(t) for t in tokens.values()))})")
         self._check_capacity(tokens, s)
         toks = np.zeros((self.max_batch, s), np.int32)
@@ -834,36 +828,31 @@ class LlamaEngine:
                      max(64, 1 << int(np.ceil(np.log2(longest + s + 1)))))
         self.cache, out = self._verify(
             self.params, self.cache, jnp.asarray(toks),
-            jnp.asarray(self.lengths), kv_len=kv_len, s=s)
-        out = np.asarray(out)
+            jnp.asarray(self.lengths), kv_len=kv_len, s=s,
+            return_logits=return_logits)
+        return np.asarray(out)
+
+    def verify_step(self, tokens: dict) -> dict:
+        """Speculative-decoding verify: tokens {slot: [s tokens]} (same s
+        for every slot) are scored in ONE device pass; their KV is written
+        at positions lengths..lengths+s-1. Does NOT advance `lengths` —
+        the caller advances by however many tokens it accepts (unaccepted
+        cache entries sit beyond `lengths`, are never attended, and are
+        overwritten by later writes). Returns {slot: [s argmax tokens]}
+        where entry i is the model's next-token after tokens[:i+1].
+        (The greedy spec-decode acceptance rule is exact argmax
+        equality.)"""
+        out = self._verify_call(tokens, return_logits=False)
         return {sl: out[sl].tolist() for sl in tokens}
 
     def verify_step_logits(self, tokens: dict) -> dict:
         """verify_step returning the FULL fp32 logit rows instead of
-        argmaxes: {slot: (s, V) ndarray}. Same KV-write semantics
-        (positions lengths..lengths+s-1; `lengths` not advanced). The
+        argmaxes: {slot: (s, V) ndarray}. Same KV-write semantics. The
         sampling-mode speculative-decoding acceptance rule needs the whole
         warped distributions p_i (serving/spec_decode.py: accept proposal
         x_i with prob min(1, p_i(x_i)/q_i(x_i)), resample rejections from
         normalize(max(p_i - q_i, 0)))."""
-        s = len(next(iter(tokens.values())))
-        if not all(len(t) == s for t in tokens.values()):
-            raise ValueError(
-                "verify_step_logits requires the same number of tokens per "
-                f"slot (got {sorted(set(len(t) for t in tokens.values()))})")
-        self._check_capacity(tokens, s)
-        toks = np.zeros((self.max_batch, s), np.int32)
-        for sl, ts in tokens.items():
-            toks[sl] = ts
-        longest = int(self.lengths[self.active].max()) if self.active.any() \
-            else 0
-        kv_len = min(self.max_len,
-                     max(64, 1 << int(np.ceil(np.log2(longest + s + 1)))))
-        self.cache, out = self._verify(
-            self.params, self.cache, jnp.asarray(toks),
-            jnp.asarray(self.lengths), kv_len=kv_len, s=s,
-            return_logits=True)
-        out = np.asarray(out)
+        out = self._verify_call(tokens, return_logits=True)
         return {sl: out[sl] for sl in tokens}
 
     def generate(self, prompt_tokens, max_new_tokens: int = 32,

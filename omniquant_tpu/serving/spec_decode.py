@@ -135,9 +135,9 @@ class SpecDecoder:
         t = self.target
         if any(t.temps[s] > 0 for s in last_tokens):
             raise ValueError(
-                "speculative decoding is greedy-only (the acceptance rule "
-                "is exact argmax equality); request temperature=0 or decode "
-                "these slots through engine.step/step_n instead")
+                "this is the GREEDY spec-decode path (argmax-equality "
+                "acceptance); slots with temperature > 0 must go through "
+                "sample_spec_step / generate(temperature=...) instead")
 
     # ------------------------------------------------------------------
     def spec_step(self, last_tokens: Dict[int, int]) -> Dict[int, List[int]]:
@@ -273,10 +273,17 @@ class SpecDecoder:
         proposal x_i is accepted with prob min(1, p_i(x_i)/q_i(x_i)); the
         first rejection is replaced by a sample from the residual
         normalize(max(p_i - q_i, 0)) and the round stops; full acceptance
-        appends a bonus sample from p_gamma. The emitted stream is
-        distributed EXACTLY as target temperature sampling (the standard
+        appends a bonus sample from p_gamma. The emitted stream follows
+        the target's temperature-sampling distribution (the standard
         speculative-sampling identity: for any proposal q,
         P[emit = x] = q(x)·min(1, p(x)/q(x)) + (1 - alpha)·res(x) = p(x)).
+
+        Exactness caveat: proposals are sampled from the DECODE program's
+        draft logits while q_i/p_i come from the VERIFY programs; where
+        the two compiled programs differ in low-order float bits (bf16
+        serving), the identity holds only up to that numerical program
+        difference — unlike the greedy path, whose argmax acceptance uses
+        the verify program's own outputs and is bit-exact.
 
         Temperature-only warping: every requested slot needs temps > 0 and
         top_k == 0 / top_p == 1 (truncation warps would have to be applied

@@ -289,52 +289,17 @@ class _TPMixin:
         return _fake_quant_core(x, scale, rzp, qcfg)
 
     def _col_linear(self, x, w):
-        """Column-parallel linear: TP-exact input quant, local partial
-        product, psum, bias exactly once (it is replicated).
-
-        With overlap_chunks > 1 (engine kwarg) the OUT dim is split into
-        independent (matmul -> psum) pairs so XLA's latency-hiding
-        scheduler can overlap collective k with matmul k+1 — see
-        parallel/tp_forward._col_linear_psum (same algebra; equality
-        asserted in tests/test_tp_engine.py)."""
-        from ..parallel.tp_forward import (
-            _slice_packed_out, effective_overlap_chunks)
+        """Column-parallel linear: TP-exact input quant, then the SHARED
+        chunked-psum implementation (parallel/tp_forward._col_linear_psum
+        — overlap_chunks > 1 splits the out dim into independent
+        (quant-matmul -> psum) pairs so XLA's latency-hiding scheduler
+        can overlap collective k with matmul k+1; equality asserted in
+        tests/test_tp_engine.py)."""
+        from ..parallel.tp_forward import _col_linear_psum
 
         x = self._tp_act_quant(x, self.spec.act)
-        chunks = getattr(self, "overlap_chunks", 1)
-        if isinstance(w, PackedWeight):
-            n = w.out_features
-            c = effective_overlap_chunks(n, chunks)
-            if c > 1:
-                step = n // c
-                y = jnp.concatenate([
-                    jax.lax.psum(
-                        quant_matmul(x, dataclasses.replace(
-                            _slice_packed_out(w, i * step, (i + 1) * step),
-                            bias=None)),
-                        "tp")
-                    for i in range(c)
-                ], axis=-1)
-            else:
-                y = jax.lax.psum(
-                    quant_matmul(x, dataclasses.replace(w, bias=None)), "tp")
-            if w.bias is not None:
-                y = y + w.bias.astype(y.dtype)
-            return y
-        n = w["weight"].shape[0]
-        c = effective_overlap_chunks(n, chunks)
-        if c > 1:
-            step = n // c
-            y = jnp.concatenate([
-                jax.lax.psum(
-                    x @ w["weight"][i * step:(i + 1) * step].T, "tp")
-                for i in range(c)
-            ], axis=-1)
-        else:
-            y = jax.lax.psum(x @ w["weight"].T, "tp")
-        if w.get("bias") is not None:
-            y = y + w["bias"]
-        return y
+        return _col_linear_psum(
+            x, w, "tp", getattr(self, "overlap_chunks", 1))
 
 
 def _local_view(obj_dict: dict, **overrides):

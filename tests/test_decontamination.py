@@ -83,3 +83,28 @@ def test_dummy_lm():
     lls = lm.loglikelihood([("a", "b")] * 3)
     assert len(lls) == 3 and all(-1 <= ll <= 0 for ll, _ in lls)
     assert lm.greedy_until([("x", ["\n"])]) == ["lol"]
+
+
+def test_cachinglm_fingerprint_isolates_configs(tmp_path):
+    """One sqlite db reused across model/quant configs must NOT serve
+    another fingerprint's cached scores (a --wbits 3 run reading a
+    --wbits 4 cache would silently report W4 accuracies)."""
+    class Counting(DummyLM):
+        def __init__(self):
+            self.calls = 0
+
+        def loglikelihood(self, requests):
+            self.calls += len(requests)
+            return [(-1.5, True) for _ in requests]
+
+    db = str(tmp_path / "shared.db")
+    a_inner, b_inner = Counting(), Counting()
+    a = CachingLM(a_inner, db, fingerprint="w4")
+    b = CachingLM(b_inner, db, fingerprint="w3")
+    reqs = [("ctx", "cont")]
+    a.loglikelihood(reqs)
+    assert a_inner.calls == 1
+    b.loglikelihood(reqs)
+    assert b_inner.calls == 1  # different fingerprint: no cross-hit
+    a.loglikelihood(reqs)
+    assert a_inner.calls == 1  # same fingerprint: hit
