@@ -350,10 +350,19 @@ def main(argv=None):
             limit=None if args.limit < 0 else args.limit,
             spec=cc.act_quant_spec, logger=logger,
             cache_db=args.eval_cache or None,
+            # every flag that influences the evaluated model must land in
+            # the fingerprint, or two runs differing only in (say)
+            # --calib_dataset would silently share cached task scores
             cache_fingerprint="|".join(map(str, (
                 args.net, args.model, args.wbits, args.abits,
                 args.group_size, args.lwc, args.let, args.symmetric,
-                args.epochs, args.resume, args.seed))))
+                args.epochs, args.resume, args.seed,
+                args.calib_dataset, args.nsamples, args.batch_size,
+                args.seqlen, args.alpha, args.aug_loss,
+                args.act_scales, args.act_shifts,
+                args.let_lr, args.lwc_lr, args.wd,
+                args.sp, args.offload_layers, args.bf16_buffers,
+                args.synthetic))))
         results.update(t_results)
 
     if args.serve_prompt is not None:

@@ -338,8 +338,14 @@ def quant_matmul(x: jax.Array, pw: PackedWeight, block_n: int = 2048,
         # dependence XLA hoists every layer's (loop-invariant) dequant to
         # the program start and keeps all of them live at once — measured
         # +5.8 GB program memory (32 layers x 180 MB) and an HBM OOM on
-        # the 7B prefill. The zero-add fuses into the dequant epilogue.
-        w = w + (x2[:1, :1] * 0).astype(w.dtype)
+        # the 7B prefill. The zero is manufactured on the INTEGER domain
+        # (bitcast -> & 0) so a non-finite activation element can't poison
+        # it (IEEE 0 * inf = NaN would silently corrupt the whole weight
+        # matrix); the zero-add still fuses into the dequant epilogue.
+        ibits = {2: jnp.int16, 4: jnp.int32}[x2.dtype.itemsize]
+        zero = jnp.bitwise_and(
+            jax.lax.bitcast_convert_type(x2[:1, :1], ibits), 0)
+        w = w + zero.astype(w.dtype)
         pad = w.shape[0] - x2.shape[-1]
         if pad:
             x2 = jnp.pad(x2, ((0, 0), (0, pad)))

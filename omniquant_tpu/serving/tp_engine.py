@@ -429,15 +429,17 @@ class TPFalconEngine(_TPMixin, FalconEngine):
     every shard computes its own replica of the shared k/v head — the cache
     is then (B, tp, max_len, hd) head-sharded with one local kv head per
     shard (tp-fold replication of ONE head's cache: noise next to the
-    weights). New-decoder GQA shards kv groups naturally. ALiBi + tp > 1 is
-    not supported yet (per-shard slope slicing not wired)."""
+    weights). New-decoder GQA shards kv groups naturally. ALiBi (the
+    falcon-rw / 180B-demo lineage, reference
+    runing_falcon180b_on_single_a100_80g.ipynb): slopes are computed for
+    the GLOBAL head count and each shard slices its own heads' slopes by
+    mesh axis index (_alibi_slopes) — both the flash prefill kernel and
+    the folded-mask dense path consume the local slice."""
 
     def __init__(self, params: dict, cfg, mesh: Mesh, **kw):
         self.overlap_chunks = kw.pop("overlap_chunks", 1)
         tp = mesh.shape["tp"]
         assert cfg.num_attention_heads % tp == 0, "heads must divide tp"
-        if cfg.alibi and tp > 1:
-            raise NotImplementedError("falcon ALiBi TP serving not wired")
         self.mesh, self.tp = mesh, tp
         self._gcfg = cfg
         dtype = kw.get("dtype", jnp.bfloat16)
@@ -475,8 +477,32 @@ class TPFalconEngine(_TPMixin, FalconEngine):
     def _attn_out(self, p, attn):
         return self._col_linear(attn, p["dense"])
 
+    def _alibi_slopes(self):
+        """LOCAL slice of the global ALiBi slopes: slopes depend on the
+        global head count and head index, and the row-sharded qkv gives
+        shard i heads [i*nh_l, (i+1)*nh_l) — so compute all slopes and
+        dynamic-slice by the shard's mesh position (runs inside
+        shard_map, where axis_index is defined)."""
+        if not self._gcfg.alibi:
+            return None
+        from ..models.falcon import alibi_slopes
+
+        full = alibi_slopes(self._gcfg.num_attention_heads)
+        nh_l = self._gcfg.num_attention_heads // self.tp
+        idx = jax.lax.axis_index("tp")
+        return jax.lax.dynamic_slice_in_dim(full, idx * nh_l, nh_l)
+
     def _block(self, p, x, positions, mask, commit):
         cfg = self._fcfg
+        if self._gcfg.alibi:
+            # same fold as the single-chip FalconEngine._block, with the
+            # shard-local slope slice (head axis is local under TP)
+            kv_len = mask.shape[-1]
+            dist = jnp.arange(kv_len, dtype=jnp.float32)
+            bias = (self._alibi_slopes()[:, None, None]
+                    * dist[None, None, :]
+                    * (1.0 / cfg.head_dim**0.5)).astype(mask.dtype)
+            mask = mask + bias[None]
         residual = x
         if cfg.new_decoder_architecture:
             attn_ln = layer_norm(x, p["ln_attn"], cfg.layer_norm_eps)

@@ -17,6 +17,8 @@ import numpy as np
 
 _SEP = "||"
 _NONE = "__none__"
+_PACKED_FORMAT_VERSION = 2
+_LAYOUTS = ("planar", "pairs")  # index order is part of the wire format
 
 
 def _flatten(tree: Any, prefix: str = "") -> dict:
@@ -27,12 +29,17 @@ def _flatten(tree: Any, prefix: str = "") -> dict:
         out[prefix + _NONE] = np.asarray(0)
     elif isinstance(tree, PackedWeight):
         out[prefix + "__packed__"] = np.asarray(1)
+        # meta format v2: [bits, gs, in, out, tile_k, FORMAT_VERSION,
+        # layout_idx] — the layout entry is load-bearing (the pairs 3-bit
+        # wire format is incompatible with planar; a checkpoint reloaded
+        # under the wrong layout would silently dequantize garbage)
         body = {
             "qweight": tree.qweight, "scales": tree.scales,
             "zeros": tree.zeros, "bias": tree.bias,
             "meta": np.asarray([
                 tree.bits, tree.group_size or 0,
-                tree.in_features, tree.out_features, tree.tile_k]),
+                tree.in_features, tree.out_features, tree.tile_k,
+                _PACKED_FORMAT_VERSION, _LAYOUTS.index(tree.layout)]),
         }
         out.update(_flatten(body, prefix))
     elif isinstance(tree, dict):
@@ -65,11 +72,21 @@ def _unflatten(flat: dict) -> Any:
         meta = [int(x) for x in body["meta"]]
         bits, gs, in_f, out_f = meta[:4]
         tile = meta[4] if len(meta) > 4 else 0
+        if len(meta) < 7:
+            raise ValueError(
+                "packed checkpoint predates the versioned meta format "
+                "(missing layout field) — its wire layout is ambiguous "
+                "(planar vs pairs decode incompatibly); re-export it with "
+                "the current code (main.py --save_dir)")
+        if meta[5] != _PACKED_FORMAT_VERSION:
+            raise ValueError(
+                f"packed checkpoint format v{meta[5]} != supported "
+                f"v{_PACKED_FORMAT_VERSION}; re-export it")
         return PackedWeight(
             qweight=body["qweight"], scales=body["scales"],
             zeros=body["zeros"], bias=body["bias"], bits=bits,
             group_size=gs or None, in_features=in_f, out_features=out_f,
-            tile_k=tile)
+            tile_k=tile, layout=_LAYOUTS[meta[6]])
     if "__list__" in flat or "__tuple__" in flat:
         is_list = "__list__" in flat
         n = int(flat["__list__" if is_list else "__tuple__"])

@@ -96,3 +96,43 @@ def test_pairs_layout_default_selection():
     assert default_layout(4, 64) == "planar"   # fine groups: fma path
     assert default_layout(3, 128) == "pairs"   # contiguous 10-codes/word
     assert default_layout(8, 128) == "planar"  # 8-bit codes overflow bf16
+
+
+def test_packed_checkpoint_roundtrip_preserves_layout(tmp_path):
+    """save_pytree/load_pytree must carry the wire layout: a pairs-3
+    PackedWeight reloaded as planar would silently dequantize garbage
+    (the two 3-bit wire formats are incompatible)."""
+    from omniquant_tpu.utils.checkpoint import load_pytree, save_pytree
+
+    rng = np.random.default_rng(7)
+    w = jnp.asarray(rng.standard_normal((128, 160)).astype(np.float32))
+    cfg = QuantConfig(n_bits=3, group_size=32)
+    for layout in ("planar", "pairs"):
+        pw = pack_weight(w, cfg, layout=layout)
+        path = str(tmp_path / f"pw_{layout}.npz")
+        save_pytree(path, {"w": pw})
+        back = load_pytree(path)["w"]
+        assert back.layout == layout
+        assert back.tile_k == pw.tile_k
+        np.testing.assert_allclose(
+            np.asarray(dequantize_packed(back)),
+            np.asarray(dequantize_packed(pw)), rtol=0, atol=0)
+
+
+def test_packed_checkpoint_rejects_unversioned_meta(tmp_path):
+    """Pre-v2 checkpoints (5-int meta, no layout) must be refused, not
+    silently loaded under a guessed layout."""
+    from omniquant_tpu.utils.checkpoint import load_pytree, save_pytree
+
+    w = jnp.asarray(np.random.default_rng(8).standard_normal(
+        (64, 64)).astype(np.float32))
+    pw = pack_weight(w, QuantConfig(n_bits=4, group_size=32))
+    path = str(tmp_path / "old.npz")
+    save_pytree(path, {"w": pw})
+    # rewrite the meta array to the old 5-int format
+    data = dict(np.load(path, allow_pickle=False))
+    meta_key = [k for k in data if k.endswith("meta||__leaf__")][0]
+    data[meta_key] = data[meta_key][:5]
+    np.savez(path, **data)
+    with pytest.raises(ValueError, match="layout"):
+        load_pytree(path)

@@ -226,3 +226,49 @@ def test_tp_engine_overlap_chunks_matches(llama_setup):
                         dtype=jnp.float32,
                         overlap_chunks=2).generate(prompt, max_new_tokens=10)
     assert got == ref
+
+
+@pytest.mark.parametrize("multi_query", [False, True])
+def test_tp_falcon_alibi_engine_matches_single(multi_query):
+    """Falcon ALiBi under TP (the reference's 180B-demo lineage,
+    runing_falcon180b_on_single_a100_80g.ipynb): each shard slices its
+    own heads' slopes from the GLOBAL slope table; tokens must match the
+    single-chip ALiBi engine exactly. Covers classic (falcon-rw style,
+    per-head-triplet qkv) and MQA head layouts."""
+    cfg = jfalcon.FalconConfig(
+        vocab_size=128, hidden_size=256, num_hidden_layers=2,
+        num_attention_heads=4, multi_query=multi_query,
+        parallel_attn=False, alibi=True, bias=True,
+    )
+    params = jfalcon.init_params(jax.random.PRNGKey(11), cfg)
+    packed = _pack(FALCON, params, cfg)
+    base = FalconEngine(packed, cfg, max_batch=2, max_len=64,
+                        dtype=jnp.float32)
+    want = base.generate(PROMPT, max_new_tokens=8)
+    mesh = make_mesh(dp=1, tp=2)
+    eng = TPFalconEngine(packed, cfg, mesh, max_batch=2, max_len=64,
+                         dtype=jnp.float32)
+    got = eng.generate(PROMPT, max_new_tokens=8)
+    assert got == want, (got, want)
+
+
+def test_tp_falcon_alibi_flash_prefill_matches_single():
+    """Long ALiBi prompt under TP rides the flash prefill kernel
+    (flash_min_len exceeded): the kernel consumes the LOCAL slope slice
+    per shard and must match the single-chip engine token-for-token."""
+    cfg = jfalcon.FalconConfig(
+        vocab_size=128, hidden_size=256, num_hidden_layers=2,
+        num_attention_heads=4, multi_query=False,
+        parallel_attn=False, alibi=True, bias=False,
+    )
+    params = jfalcon.init_params(jax.random.PRNGKey(12), cfg)
+    packed = _pack(FALCON, params, cfg)
+    prompt = list(np.random.default_rng(3).integers(1, 128, 40))
+    base = FalconEngine(packed, cfg, max_batch=1, max_len=128,
+                        dtype=jnp.float32, flash_min_len=32)
+    want = base.generate(prompt, max_new_tokens=6)
+    mesh = make_mesh(dp=1, tp=2)
+    eng = TPFalconEngine(packed, cfg, mesh, max_batch=1, max_len=128,
+                         dtype=jnp.float32, flash_min_len=32)
+    got = eng.generate(prompt, max_new_tokens=6)
+    assert got == want, (got, want)
