@@ -414,24 +414,67 @@ def main():
     b.stage("w3g128_b8", b8_stage(3, "w3g128"), est_s=150)
     drop_params(3)
 
-    # --- weight-activation schemes on the int8 MXU (planar
-    # codes — the int kernel's unpack-to-int prefers the plane layout).
-    # These are HALF the named headline metric ("... & W4A4") — they run
-    # before every nice-to-have. ---
-    def wa_stage(wb_, ab_, key):
+    # --- weight-activation schemes. These are HALF the named headline
+    # metric ("... & W4A4") — they run before every nice-to-have.
+    # Per-m routing (kernels/quant_matmul.quant_matmul_int): decode
+    # (small m) rides the pairs bf16-injection kernel on fake-quant
+    # activations (eval-oracle semantics, same speed class as W4A16);
+    # prefill (m >= 2048) unpacks once to centered int8 codes and runs
+    # the dense int8-MXU kernel — measured 1.09x the bf16 kernel at
+    # 4096^3 while being integer-exact. W6 has no pairs layout, so its
+    # decode uses the fused planar int kernel. ---
+    def wa_stage(wb_, ab_, key, layout):
         def run():
-            p = get_params(cfg, jnp.bfloat16, bits=wb_, layout="planar")
-            ts, sm, _, e = decode_tok_s(
+            p = get_params(cfg, jnp.bfloat16, bits=wb_, layout=layout)
+            wb_bytes = weight_bytes(p)
+            ts, sm, pf, e = decode_tok_s(
                 p, cfg, BATCH, MAX_LEN, label=f"w{wb_}a{ab_}",
                 spec=ActQuantSpec.from_bits(ab_))
             b.extras[f"{key}_tok_s"] = round(ts, 1)
             b.extras[f"{key}_step_ms"] = round(sm, 2)
+            im, _ = ideal_step_ms(wb_bytes, BATCH, kv_bucket)
+            b.extras[f"{key}_pct_roofline"] = round(100 * im / sm, 1)
+            b.extras[f"{key}_prefill_tok_s"] = round(pf, 1)
             free_engine(e)
         return run
 
-    b.stage("w4a4", wa_stage(4, 4, "w4a4"), est_s=240)
-    drop_params(4, "planar")
-    b.stage("w6a6", wa_stage(6, 6, "w6a6"), est_s=240)
+    b.stage("w4a4", wa_stage(4, 4, "w4a4", "auto"), est_s=240)
+
+    # W4A4 long prefill MFU (batch 8 x 1024-token prompts — the config
+    # prefill_mfu_pct measures for bf16): the integer path's 2x-MXU
+    # regime. Runs right after the w4a4 decode stage so the pairs params
+    # are still cached.
+    def w4a4_prefill_stage():
+        from omniquant_tpu.serving.engine import LlamaEngine
+
+        scfg = make_cfg(2048)
+        p = get_params(scfg, jnp.bfloat16, bits=4, layout="auto")
+        e = LlamaEngine(p, scfg, max_batch=8, max_len=2048,
+                        dtype=jnp.bfloat16,
+                        spec=ActQuantSpec.from_bits(4))
+        long_len = 1024
+        rng2 = np.random.default_rng(5)
+        lp = [list(rng2.integers(0, 32000, long_len)) for _ in range(8)]
+        slots = e.add_requests(lp)  # compile
+        for s in slots:
+            e.release(s)
+        t0 = time.time()
+        e.add_requests(lp)
+        dt = time.time() - t0
+        lin_flops = 2 * 6.74e9 * 8 * long_len
+        attn_flops = 2 * 2 * 32 * (long_len ** 2) // 2 * 128 * 8 * L
+        mfu = (lin_flops + attn_flops) / dt / (PEAK_BF16_TFLOPS * 1e12)
+        b.extras["w4a4_prefill_long_tok_s"] = round(8 * long_len / dt, 1)
+        b.extras["w4a4_prefill_mfu_pct"] = round(100 * mfu, 1)
+        print(f"# [w4a4-prefill-long] 8x{long_len} in {dt*1e3:.0f} ms "
+              f"(MFU-equivalent {b.extras['w4a4_prefill_mfu_pct']}% of "
+              f"bf16 peak)", file=sys.stderr)
+        free_engine(e)
+
+    # (the (4, "auto") params stay cached — the headline and every later
+    # W4 stage share them)
+    b.stage("w4a4_prefill", w4a4_prefill_stage, est_s=200)
+    b.stage("w6a6", wa_stage(6, 6, "w6a6", "planar"), est_s=240)
     drop_params(6, "planar")
 
     # --- stage 4: speculative decoding (layer-skip self-draft) ---
@@ -572,7 +615,11 @@ def main():
 
     b.stage("w4g128_b8", b8_stage(4, "w4g128"), est_s=150)
 
-    # --- stage 11: one timed auto_grow doubling mid-decode ---
+    # --- stage 11: one timed auto_grow doubling mid-decode, with the
+    # prefetched AOT growth programs (engine.prefetch_grow): compilation
+    # of the 1024-bucket step programs overlaps serving in a background
+    # thread, so the measured mid-stream stall is just cache copy +
+    # dispatch — not the ~15 s synchronous recompile of BENCH_r04 ---
     def autogrow_stage():
         from omniquant_tpu.serving.engine import LlamaEngine
 
@@ -580,19 +627,25 @@ def main():
         p = get_params(gcfg, jnp.bfloat16, bits=4)
         e = LlamaEngine(p, gcfg, max_batch=8, max_len=512,
                         dtype=jnp.bfloat16, auto_grow=True)
+        e.prefetch_grow(steps={(8, False)})  # background 1024-shape compile
         rng = np.random.default_rng(7)
         prompts = [list(rng.integers(0, 32000, 128)) for _ in range(8)]
         slots = e.add_requests(prompts)
         last = {s: e._pending_next[s] for s in slots}
-        out = e.step_n(last, 8)  # warm at 512
+        out = e.step_n(last, 8)  # warm at 512 (overlaps the bg compile)
         last = {s: t[-1] for s, t in out.items()}
+        t0 = time.time()
+        e._grow_prep[1].join()  # residual bg-compile wait (0 once warm)
+        prep_wait = time.time() - t0
+        b.extras["autogrow_prep_residual_ms"] = round(prep_wait * 1e3, 1)
         e.lengths[slots] = 508  # next step_n forces 512 -> 1024 growth
         t0 = time.time()
         e.step_n(last, 8)
         b.extras["autogrow_ms"] = round((time.time() - t0) * 1e3, 1)
         print(f"# [autogrow] 512->1024 grow + step_n(8): "
-              f"{b.extras['autogrow_ms']} ms (incl. first 1024-bucket "
-              f"compile)", file=sys.stderr)
+              f"{b.extras['autogrow_ms']} ms (prefetched AOT programs; "
+              f"residual prep wait {prep_wait*1e3:.0f} ms)",
+              file=sys.stderr)
         free_engine(e)
 
     b.stage("autogrow", autogrow_stage, est_s=150)

@@ -33,6 +33,10 @@ def build_parser():
     p.add_argument("--output_dir", default="./log/", type=str)
     p.add_argument("--save_dir", default=None, type=str,
                    help="save fake-quant model (npz pytree)")
+    p.add_argument("--export_autogptq", default=False, action="store_true",
+                   help="with --real_quant --save_dir: also write an "
+                        "AutoGPTQ-format .pt checkpoint (the reference's "
+                        "real-quant deployment layout)")
     p.add_argument("--real_quant", default=False, action="store_true",
                    help="additionally save packed int32 weights")
     p.add_argument("--resume", type=str, default=None)
@@ -308,6 +312,16 @@ def main(argv=None):
                 family, params, cc.weight_quant_config, omni_parameters)
             save_pytree(f"{args.save_dir}/model_packed.npz", packed)
             logger.info("saved packed real-quant weights")
+            if args.export_autogptq:
+                from omniquant_tpu.serving.export_autogptq import (
+                    save_autogptq_checkpoint)
+
+                save_autogptq_checkpoint(
+                    family.name, packed,
+                    f"{args.save_dir}/model_autogptq.pt")
+                logger.info(
+                    "saved AutoGPTQ-format checkpoint (reference "
+                    "real-quant interop, quantize/omniquant.py:255-277)")
 
     if args.tp > 1:
         from omniquant_tpu.parallel import make_mesh, model_specs, shard_params

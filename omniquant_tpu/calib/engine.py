@@ -221,7 +221,17 @@ def calibrate(
         from ..models.common import maybe_quant
         from ..parallel.ring_attention import ring_attention_local
 
-        assert family.name == "llama", "sequence-parallel calibration: llama"
+        # llama + OPT: both families' block_forward expose the attn_impl
+        # ring hook. OPT pre-scales q by hd**-0.5 and quantizes q/k/v at
+        # its reference sites BEFORE the hook (int_opt_layer.py:96-118),
+        # so the ring runs at sm_scale=1.0 with identity hook-quantizers.
+        # Falcon stays out: its reference calibration is LWC-only at
+        # seqlen 2048 (models/falcon.py:243-256) and ALiBi needs a
+        # global-position bias inside the ring.
+        assert family.name in ("llama", "opt"), (
+            "sequence-parallel calibration supports llama and opt "
+            f"(got {family.name})")
+        sp_sm_scale = 1.0 if family.name == "opt" else None
         n_sp = sp_mesh.shape[sp_axis]
         assert seqlen % n_sp == 0, (seqlen, n_sp)
         s_local = seqlen // n_sp
@@ -240,13 +250,15 @@ def calibrate(
 
         def _ring_attn(impl):
             def attn(q, k, v, spec_):
-                # the eval path's q/k/v per-token quant (over head_dim) is
-                # row-local, so shard-local quantization is exact
+                # the eval path's q/k/v per-token quant (over head_dim for
+                # llama; OPT quantized pre-hook, spec_ carries identities)
+                # is row-local, so shard-local quantization is exact
                 q = maybe_quant(q, spec_.q)
                 k = maybe_quant(k, spec_.k)
                 v = maybe_quant(v, spec_.v)
                 return ring_attention_local(
-                    q, k, v, axis=sp_axis, n=n_sp, causal=True, impl=impl)
+                    q, k, v, axis=sp_axis, n=n_sp, sm_scale=sp_sm_scale,
+                    causal=True, impl=impl)
             return attn
 
         def _local_pos():

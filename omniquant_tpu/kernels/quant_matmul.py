@@ -518,6 +518,226 @@ def _qmm_int_call(xc, xs, qweight, scales_t, off2_t, bits, group_size,
     return out[:m] if m_pad != m else out
 
 
+# -- large-m (prefill) integer route: unpack ONCE, int8-MXU consume ------
+#
+# The fused kernel above re-unpacks each weight tile once per M tile
+# (grid m x n x k), which at prefill m is pure waste: ablation on v5e
+# (scripts/exp_ablate_int.py, 4096^3 W4g128, m=4096) measured
+#   in-kernel unpack + int8 group dots : 1377 us  (99.8 TF/s eff)
+#   PRE-UNPACKED int8 + group dots     :  690 us (199.2 TF/s eff)
+#   bf16 pairs fused (the W4A16 path)  : 1223 us (112.4 TF/s eff)
+# and K=128 group dots cost nothing vs one K=512 dot (690 vs 686 us) —
+# the int8 MXU's 2x rate survives per-group scaling. So at m >=
+# _INT_DENSE_MIN_M the codes are unpacked once to CENTERED int8 (XLA,
+# one pass) and a dense consumer kernel runs the group-dot algebra.
+
+_INT_DENSE_MIN_M = 2048
+
+
+def _unpack_int8_kernel(qw_ref, zero_ref, out_ref, *, bits, bk, layout):
+    codes = _unpack_tile(qw_ref[:], bits, bk, layout)
+    # broadcast-add the (1,1) int32 zero on the i32 codes (Mosaic supports
+    # neither i8 scalar extraction nor i8 vector add here)
+    out_ref[:] = (codes - 2 ** (bits - 1) + zero_ref[:]).astype(jnp.int8)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bits", "bk", "layout", "interpret"))
+def _unpack_to_int8(qweight, zero, bits, bk, layout, interpret):
+    """Packed words -> CENTERED int8 codes (k_pad, n), one Pallas pass
+    (the XLA unpack's 3-D broadcast costs ~4x more on v5e: 255 vs ~60
+    us for a 4096x4096 W4). `zero` is an int8 (1, 1) ZERO manufactured
+    from the caller's activations: adding it inside the kernel ties the
+    unpack to this call's input with no extra pass (anti-hoist, see
+    caller)."""
+    n = qweight.shape[1]
+    k_pad = rows_per_words(bits, qweight.shape[0], layout)
+    wpt = words_per_rows(bits, bk, layout)
+    bn = next(b for b in (2048, 1024, 512, 256, 128) if n % b == 0) \
+        if n % 128 == 0 else n
+    return pl.pallas_call(
+        functools.partial(_unpack_int8_kernel, bits=bits, bk=bk,
+                          layout=layout),
+        grid=(k_pad // bk, n // bn),
+        in_specs=[pl.BlockSpec((wpt, bn), lambda j, i: (j, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 1), lambda j, i: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((bk, bn), lambda j, i: (j, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k_pad, n), jnp.int8),
+        interpret=interpret,
+    )(qweight, zero)
+
+
+def _qmm_int_dense_kernel(x_ref, xsum_ref, xs_ref, w_ref, sc_ref, off_ref,
+                          out_ref, acc_ref, *, gs_rows: int, out_dtype):
+    nk = pl.num_programs(2)
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    xc = x_ref[:]                 # (bm, bk) i8 centered act codes
+    wv = w_ref[:]                 # (bk, bn) i8 centered weight codes
+    n_g = xc.shape[1] // gs_rows
+    sc = sc_ref[0, :n_g, :]       # (n_g, bn) f32
+    off2 = off_ref[0, :n_g, :]    # (2^{b-1} - wzp)*sc, f32
+    # per-group act-code sums arrive TRANSPOSED (ngp, bm) — lane-friendly
+    # block shape — and contract on their group dim directly. Accumulate
+    # straight into the scratch ref: a Python-level (bm, bn) f32 temp
+    # costs 4 MB of kernel stack and blew scoped VMEM at this tiling.
+    xsum_t = xsum_ref[:, :]       # (ngp, bm) f32
+    acc_ref[:] += jax.lax.dot_general(
+        xsum_t[:n_g], off2, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (bm, bn)
+    for g in range(n_g):
+        d = jnp.dot(xc[:, g * gs_rows:(g + 1) * gs_rows],
+                    wv[g * gs_rows:(g + 1) * gs_rows],
+                    preferred_element_type=jnp.int32)  # int8 MXU pass
+        acc_ref[:] += d.astype(jnp.float32) * sc[g][None, :]
+
+    @pl.when(k == nk - 1)
+    def _():
+        out_ref[:] = (acc_ref[:] * xs_ref[:]).astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("gs_rows", "block_n", "block_k", "out_dtype",
+                     "interpret"),
+)
+def _qmm_int_dense_call(xc, xsum, xs, w8, sc_slabs, off_slabs, gs_rows,
+                        block_n, block_k, out_dtype, interpret):
+    m, k_pad = xc.shape
+    n = w8.shape[1]
+    # 512-row m tiles halve the weight-tile HBM re-reads vs 256 (the
+    # consume kernel's dominant cost term); tiling sweep on v5e 4096^3:
+    # (256,2048,512) 754us / (512,2048,512) 652 / (512,4096,512) 594 /
+    # (512,2048,1024) 619 — see scripts/exp_ablate_int.py ablation
+    bm = min(512, -(-m // 32) * 32)
+    m_pad = -(-m // bm) * bm
+    if m_pad != m:
+        xc = jnp.pad(xc, ((0, m_pad - m), (0, 0)))
+        xsum = jnp.pad(xsum, ((0, 0), (0, m_pad - m)))
+        xs = jnp.pad(xs, ((0, m_pad - m), (0, 0)))
+    grid = (m_pad // bm, n // block_n, k_pad // block_k)
+    n_g = block_k // gs_rows
+    ngp = sc_slabs.shape[1]
+    kernel = functools.partial(
+        _qmm_int_dense_kernel, gs_rows=gs_rows, out_dtype=out_dtype)
+    sc_spec = pl.BlockSpec(
+        (1, ngp, block_n), lambda im, i, j: (j, 0, i),
+        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, block_k), lambda im, i, j: (im, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ngp, bm), lambda im, i, j: (j, im),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda im, i, j: (im, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_k, block_n), lambda im, i, j: (j, i),
+                         memory_space=pltpu.VMEM),
+            sc_spec,
+            sc_spec,
+        ],
+        out_specs=pl.BlockSpec((bm, block_n), lambda im, i, j: (im, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, block_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * k_pad * n,
+            bytes_accessed=(w8.size + xc.size + m_pad * n * 2),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xc, xsum, xs, w8, sc_slabs, off_slabs)
+    return out[:m] if m_pad != m else out
+
+
+def _quant_matmul_int_dense(x, pw: PackedWeight, act_cfg, interpret):
+    """Large-m integer route: y = actq(x) @ dequant(pw), the weight codes
+    unpacked ONCE to centered int8 and consumed by the dense int8-MXU
+    kernel. Same quantized algebra as the fused route (module comment)."""
+    orig_shape = x.shape
+    n = pw.qweight.shape[1]
+    m = 1
+    for d in orig_shape[:-1]:
+        m *= d
+    x2 = x.reshape(m, orig_shape[-1])
+    # act quant stays on XLA: a fused Pallas act-quant kernel measured
+    # SLOWER end-to-end (1182 vs 1094 us on the 4096^3 chain) because XLA
+    # fuses the min/max/round passes into the producing ops for free
+    xc, xs = quantize_act_int(x2, act_cfg)
+    bits = pw.bits
+    # integer-domain zero tied to THIS call's activations: without the
+    # data dependence XLA hoists every layer's (loop-invariant) unpack to
+    # program start and keeps all the int8 code buffers live at once
+    # (same OOM mechanism as the bf16 dequant-once route above)
+    zero = jnp.bitwise_and(
+        jax.lax.bitcast_convert_type(xc[:1, :1], jnp.int8), 0
+    ).astype(jnp.int32)
+    w8 = _unpack_to_int8(pw.qweight, zero, bits, pw.tile_k, pw.layout,
+                         interpret)
+    k_pad = w8.shape[0]
+    if k_pad != xc.shape[1]:
+        # centered zero act codes: pad rows contribute 0 to dots AND to
+        # the per-group xsum, so junk codes in the pack-padding rows of
+        # w8 (code 0 -> -2^{b-1}) are nullified exactly
+        xc = jnp.pad(xc, ((0, 0), (0, k_pad - xc.shape[1])))
+    # w8 is DENSE (no pack-tile constraint): bk only needs the group size
+    # to divide it and to divide k_pad; start from the pack tile (a
+    # multiple of gs that divides k_pad by construction) and grow toward
+    # 1024 while the VMEM budget holds
+    gs_rows = pw.group_size or pw.tile_k
+    bk = pw.tile_k
+    n_g = bk // gs_rows
+    ngp = -(-n_g // 8) * 8
+    nk = k_pad // bk
+
+    scales_t = pw.scales.T.astype(jnp.float32)
+    off2_t = ((2 ** (bits - 1) - pw.zeros) * pw.scales).T.astype(
+        jnp.float32)
+
+    def to_slabs(a):
+        if pw.group_size:
+            g_needed = nk * n_g
+            if a.shape[0] < g_needed:
+                a = jnp.concatenate(
+                    [a, jnp.repeat(a[-1:], g_needed - a.shape[0], 0)])
+            a = a.reshape(nk, n_g, n)
+        else:
+            a = jnp.broadcast_to(a[None], (nk, 1, n))
+        return jnp.pad(a, ((0, 0), (0, ngp - n_g), (0, 0)))
+
+    # per-(K tile, group) act-code sums, f32, TRANSPOSED to (nk*ngp, m)
+    # so the kernel's block shape is lane-friendly (last dim = bm)
+    xsum = jnp.sum(
+        xc.astype(jnp.int32).reshape(m, k_pad // gs_rows, gs_rows),
+        axis=-1).astype(jnp.float32)
+    xsum = xsum.reshape(m, nk, n_g)
+    xsum = jnp.pad(xsum, ((0, 0), (0, 0), (0, ngp - n_g)))
+    xsum = xsum.transpose(1, 2, 0).reshape(nk * ngp, m)
+    # lane tile: as wide as divides n, capped at the sweep-validated VMEM
+    # envelope (bm=512, bn=2048, bk=512: 652us on the 4096^3 ablation;
+    # wider bn with this operand set blows scoped VMEM)
+    bn = next((b for b in (2048, 1024, 512, 256, 128)
+               if n % b == 0 and bk * b <= 512 * 2048), 128)
+    y = _qmm_int_dense_call(
+        xc, xsum, xs, w8, to_slabs(scales_t), to_slabs(off2_t),
+        gs_rows=gs_rows, block_n=bn, block_k=bk,
+        out_dtype=jnp.dtype(x.dtype), interpret=interpret)
+    if pw.bias is not None:
+        y = y + pw.bias.astype(y.dtype)
+    return y.reshape(*orig_shape[:-1], n)
+
+
 def quant_matmul_int(x: jax.Array, pw: PackedWeight, act_cfg,
                      block_n: int = 2048,
                      interpret: Optional[bool] = None) -> jax.Array:
@@ -528,16 +748,24 @@ def quant_matmul_int(x: jax.Array, pw: PackedWeight, act_cfg,
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     n = pw.qweight.shape[1]
+    m = 1
+    for d in x.shape[:-1]:
+        m *= d
     eligible = (
         act_cfg is not None and act_cfg.enabled and not act_cfg.group_size
         and act_cfg.n_bits <= 7 and act_cfg.metric == "minmax"
-        and n % 128 == 0 and pw.bits <= 8
-        # pairs-layout weights: extracting INT codes from the pair words
-        # needs a sublane interleave that costs more than the int8-MXU
-        # saves (measured 489 vs 1333 tok/s at 7B decode); the fake-quant
-        # fallback below uses the fast bf16 injection kernel AND matches
-        # the eval oracle's fake-quant semantics exactly
-        and pw.layout == "planar")
+        and n % 128 == 0 and pw.bits <= 8)
+    if eligible and m >= _INT_DENSE_MIN_M:
+        # large-m (prefill): unpack-once + dense int8-MXU consume — works
+        # for every wire layout (unpack_codes handles pairs), and beats
+        # the bf16 kernels by ~1.7x (see ablation above)
+        return _quant_matmul_int_dense(x, pw, act_cfg, interpret)
+    eligible = eligible and pw.layout == "planar"
+    # small-m pairs-layout weights: extracting INT codes from the pair
+    # words needs a sublane interleave that costs more than the int8-MXU
+    # saves at decode (measured 489 vs 1333 tok/s at 7B decode); the
+    # fake-quant fallback below uses the fast bf16 injection kernel AND
+    # matches the eval oracle's fake-quant semantics exactly
     if not eligible:
         from ..quant.quantizer import fake_quant_act
 

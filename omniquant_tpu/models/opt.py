@@ -75,12 +75,19 @@ def block_forward(
     spec: ActQuantSpec = NO_ACT_QUANT,
     kv_cache: Optional[tuple] = None,
     tap: Optional[dict] = None,
+    attn_impl=None,
 ):
     """One OPT decoder block (reference models/int_opt_layer.py:268-346).
 
     Quantizer placement matches the reference: q scaled then q-quantized
     pre-reshape (:96-97), k/v quantized per-token pre-reshape (:107,118),
     probs through p-quantizer post-softmax (:196).
+
+    `attn_impl`, when given, replaces attention_core (the sequence-
+    parallel calibration hook, as in llama.block_forward): it receives
+    the ALREADY-quantized q/k/v (OPT's reference sites quantize
+    pre-reshape) with a p-only spec, so the hook's own q/k/v quantizers
+    are identities and semantics stay reference-exact.
     """
     b, s, h = x.shape
     n_heads, hd = cfg.num_attention_heads, cfg.head_dim
@@ -108,12 +115,15 @@ def block_forward(
         v = jnp.concatenate([kv_cache[1], v], axis=2)
     new_cache = (k, v)
 
-    if mask is None:
-        mask = causal_mask(s, k.shape[2], dtype=x.dtype)
     # q/k/v already quantized at the reference's sites; pass a spec with only
     # the p quantizer active so attention_core doesn't double-quantize.
     p_only = ActQuantSpec(p=spec.p)
-    attn = attention_core(q, k, v, mask, 1.0, p_only)
+    if attn_impl is not None:
+        attn = attn_impl(q, k, v, p_only)
+    else:
+        if mask is None:
+            mask = causal_mask(s, k.shape[2], dtype=x.dtype)
+        attn = attention_core(q, k, v, mask, 1.0, p_only)
     attn = attn.transpose(0, 2, 1, 3).reshape(b, s, h)
     if tap is not None:
         tap["out_proj"] = attn

@@ -167,6 +167,13 @@ class LlamaEngine:
         self._dispatch = 0  # folds into the key once per device dispatch
 
         self._pending_next = {}
+        # async growth pre-compilation state: (new_len, thread, results)
+        # — see prefetch_grow. _seen_steps records the (n_steps, do_sample)
+        # combos serving actually uses so the prefetch compiles the
+        # programs the post-growth stream will need.
+        self._grow_prep = None
+        self._aot = {}
+        self._seen_steps = set()
         self._build_steps()
 
     def _prep_params(self, params: dict) -> dict:
@@ -517,14 +524,19 @@ class LlamaEngine:
                     cache = KVCache(ck, cv, cks, cvs)
                     if self.attn_kernel:
                         # hand the raw int8 buffers (full max_len shape —
-                        # the kernel's BlockSpec bounds reads to kv_len)
+                        # the kernel's BlockSpec bounds reads to kv_len).
+                        # The buffer length comes from the CACHE SHAPE,
+                        # not self.max_len: prefetch_grow traces this impl
+                        # against grown-cache avals in a background thread
+                        # while self.max_len still holds the old value.
+                        buf_len = cache.k[_li].shape[2]
                         return ("int8win", kv_len,
                                 cache.k[_li],
                                 scale_plane_view(
-                                    cache.k_scale[_li], self.max_len),
+                                    cache.k_scale[_li], buf_len),
                                 cache.v[_li],
                                 scale_plane_view(
-                                    cache.v_scale[_li], self.max_len))
+                                    cache.v_scale[_li], buf_len))
                 else:
                     ck[_li], cv[_li] = kv_cache_write(
                         (cache.k[_li], cache.v[_li]),
@@ -715,6 +727,13 @@ class LlamaEngine:
         need = max(
             (int(self.lengths[s]) + n for s in check), default=0)
         if need <= self.max_len:
+            # occupancy-triggered background compile of the grown-shape
+            # programs (single-host jitted impls only — TP engines'
+            # shard_map wrappers recompile synchronously as before)
+            if (self.auto_grow and need > self.max_len * 3 // 4
+                    and not hasattr(self, "mesh")
+                    and self.max_len < self.grow_limit):
+                self.prefetch_grow()
             return
         if not self.auto_grow:
             over = [s for s in sorted(check)
@@ -726,9 +745,7 @@ class LlamaEngine:
                 " a larger max_len")
         self._grow(need)
 
-    def _grow(self, need: int):
-        """Double max_len (to at least `need`, capped at grow_limit) and
-        copy the live cache into freshly allocated buffers."""
+    def _grow_target(self, need: int) -> int:
         new_len = self.max_len
         while new_len < need:
             new_len *= 2
@@ -736,17 +753,115 @@ class LlamaEngine:
             raise RuntimeError(
                 f"cannot grow cache to {new_len} (> grow_limit="
                 f"{self.grow_limit}, cfg.max_position_embeddings)")
-        old_cache, old_len = self.cache, self.max_len
+        return new_len
+
+    # one engine-lifetime jitted copy fn (shape-polymorphic via retrace per
+    # (old, new) shape pair) — hoisted out of _grow so prefetch_grow can
+    # AOT-compile it for the grown shapes ahead of need
+    @staticmethod
+    @jax.jit
+    def _copy_cache(new, old):
+        def cp(nbuf, obuf):
+            return nbuf.at[:, :, : obuf.shape[2]].set(obuf)
+        return jax.tree.map(cp, new, old)
+
+    def _cache_avals(self, max_len: int):
+        """ShapeDtypeStruct pytree of the cache at a given max_len (no
+        allocation)."""
+        saved = self.max_len
+        self.max_len = max_len
+        try:
+            return jax.eval_shape(self._init_cache)
+        finally:
+            self.max_len = saved
+
+    def prefetch_grow(self, steps=None):
+        """Start BACKGROUND AOT compilation of the programs the stream will
+        need right after the next cache doubling: the grown-shape decode /
+        decode_multi steps (kv_len = new max_len — growth only triggers
+        when the window already fills the old bucket) and the cache copy.
+        Called automatically from _check_capacity when occupancy crosses
+        3/4 of max_len (auto_grow engines), so by the time _grow runs the
+        executables are ready and the stall is just the copy cost — not
+        the ~15 s synchronous recompile measured in BENCH_r04. Compilation
+        runs in a daemon thread; the main thread keeps executing the
+        already-compiled current-size programs (no concurrent tracing).
+        No-op when a prep is already in flight or at the grow_limit."""
+        if self._grow_prep is not None:
+            return
+        try:
+            new_len = self._grow_target(self.max_len + 1)
+        except RuntimeError:
+            return
+        if steps is None:
+            steps = set(self._seen_steps) or {(8, False)}
+        params_avals = jax.tree.map(
+            lambda x: None if x is None else jax.ShapeDtypeStruct(
+                x.shape, x.dtype),
+            self.params, is_leaf=lambda x: x is None)
+        cache_avals = self._cache_avals(new_len)
+        old_cache_avals = self._cache_avals(self.max_len)
+        B = self.max_batch
+        i32 = lambda *s: jax.ShapeDtypeStruct(s, jnp.int32)
+        f32 = lambda *s: jax.ShapeDtypeStruct(s, jnp.float32)
+        key_aval = jax.ShapeDtypeStruct(
+            self._base_key.shape, self._base_key.dtype)
+        results = {}
+
+        def compile_all():
+            results[("copy", new_len)] = LlamaEngine._copy_cache.lower(
+                cache_avals, old_cache_avals).compile()
+            for n, do_sample in steps:
+                kind = "decode" if n == 1 else "decode_multi"
+                statics = dict(kv_len=new_len, do_sample=do_sample)
+                if n == 1:
+                    fn, args = self._decode, (
+                        params_avals, cache_avals, i32(B), i32(B), key_aval,
+                        f32(B), i32(B), f32(B))
+                else:
+                    statics["n_steps"] = n
+                    fn, args = self._decode_multi, (
+                        params_avals, cache_avals, i32(B), i32(B), key_aval,
+                        f32(B), i32(B), f32(B))
+                key = (kind, new_len, tuple(sorted(statics.items())))
+                results[key] = fn.lower(*args, **statics).compile()
+
+        import threading
+
+        th = threading.Thread(target=compile_all, daemon=True)
+        th.start()
+        self._grow_prep = (new_len, th, results)
+
+    def _grow(self, need: int):
+        """Double max_len (to at least `need`, capped at grow_limit) and
+        copy the live cache into freshly allocated buffers. Uses the
+        prefetched AOT executables when prefetch_grow prepared them."""
+        new_len = self._grow_target(need)
+        prep_copy = None
+        if self._grow_prep is not None:
+            prep_len, th, results = self._grow_prep
+            th.join()  # overlapped with serving since the 3/4 trigger
+            self._grow_prep = None
+            if prep_len == new_len:
+                self._aot.update(results)
+                prep_copy = results.get(("copy", new_len))
+        old_cache = self.cache
         self.max_len = new_len
         new_cache = self._init_cache()
+        if prep_copy is not None:
+            self.cache = prep_copy(new_cache, old_cache)
+        else:
+            self.cache = LlamaEngine._copy_cache(new_cache, old_cache)
 
-        @jax.jit
-        def copy_into(new, old):
-            def cp(nbuf, obuf):
-                return nbuf.at[:, :, : obuf.shape[2]].set(obuf)
-            return jax.tree.map(cp, new, old)
-
-        self.cache = copy_into(new_cache, old_cache)
+    def _aot_call(self, kind: str, args, statics: dict):
+        """Dispatch through a prefetched grown-shape executable when one
+        exists for (kind, max_len, statics); otherwise the jitted fn."""
+        key = (kind, self.max_len, tuple(sorted(statics.items())))
+        fn = self._aot.get(key)
+        if fn is not None:
+            return fn(*args)
+        base = {"decode": self._decode, "decode_multi": self._decode_multi}
+        return base[kind](*args, **statics)
 
     def _ensure_prefill_capacity(self, bucket: int):
         """Prompts longer than max_len would write past the cache buffers
@@ -771,12 +886,15 @@ class LlamaEngine:
         longest = int(self.lengths[self.active].max()) if self.active.any() else 0
         kv_len = min(self.max_len,
                      max(64, 1 << int(np.ceil(np.log2(longest + 1)))))
-        self.cache, next_tokens = self._decode(
-            self.params, self.cache, jnp.asarray(toks),
-            jnp.asarray(self.lengths), self._next_key(),
-            jnp.asarray(self.temps), jnp.asarray(self.top_ks),
-            jnp.asarray(self.top_ps), kv_len=kv_len,
-            do_sample=self._do_sample())
+        do_sample = self._do_sample()
+        self._seen_steps.add((1, do_sample))
+        self.cache, next_tokens = self._aot_call(
+            "decode",
+            (self.params, self.cache, jnp.asarray(toks),
+             jnp.asarray(self.lengths), self._next_key(),
+             jnp.asarray(self.temps), jnp.asarray(self.top_ks),
+             jnp.asarray(self.top_ps)),
+            dict(kv_len=kv_len, do_sample=do_sample))
         out = {}
         next_tokens = np.asarray(next_tokens)  # (B,) int32 — tiny transfer
         for s in last_tokens:
@@ -796,12 +914,15 @@ class LlamaEngine:
         longest = int(self.lengths[self.active].max()) if self.active.any() else 0
         kv_len = min(self.max_len,
                      max(64, 1 << int(np.ceil(np.log2(longest + n + 1)))))
-        self.cache, out = self._decode_multi(
-            self.params, self.cache, jnp.asarray(toks),
-            jnp.asarray(self.lengths), self._next_key(),
-            jnp.asarray(self.temps), jnp.asarray(self.top_ks),
-            jnp.asarray(self.top_ps), kv_len=kv_len, n_steps=n,
-            do_sample=self._do_sample())
+        do_sample = self._do_sample()
+        self._seen_steps.add((n, do_sample))
+        self.cache, out = self._aot_call(
+            "decode_multi",
+            (self.params, self.cache, jnp.asarray(toks),
+             jnp.asarray(self.lengths), self._next_key(),
+             jnp.asarray(self.temps), jnp.asarray(self.top_ks),
+             jnp.asarray(self.top_ps)),
+            dict(kv_len=kv_len, n_steps=n, do_sample=do_sample))
         out = np.asarray(out)
         res = {}
         for s in last_tokens:

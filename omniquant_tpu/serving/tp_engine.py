@@ -271,6 +271,52 @@ class _TPMixin:
         self._decode_multi = wrap(self._decode_multi_impl)
         self._verify = wrap(self._verify_impl)
 
+    def lower_step(self, kind: str = "decode_multi", **statics):
+        """AOT-lower (NO execution) one step program at this engine's full
+        geometry: returns a jax.stages.Lowered whose .compile() exposes
+        memory_analysis()/cost_analysis(). The rehearsal tool for configs
+        too big to run on available hardware (e.g. Llama-2-70B W3A16g128
+        tensor-sharded — BASELINE.json north star): validates that the
+        sharded step traces, partitions, and compiles at the real shapes,
+        and lets the caller check per-shard HBM arithmetic against the
+        target chip, without ever dispatching a step."""
+        impls = {
+            "decode": self._decode_impl,
+            "decode_multi": self._decode_multi_impl,
+            "prefill_multi": self._prefill_multi_impl,
+            "verify": self._verify_impl,
+        }
+        impl = impls[kind]
+        B = self.max_batch
+        i32 = lambda *s: jax.ShapeDtypeStruct(s, jnp.int32)
+        f32 = lambda *s: jax.ShapeDtypeStruct(s, jnp.float32)
+        key_aval = jax.ShapeDtypeStruct(
+            self._base_key.shape, self._base_key.dtype)
+        if kind in ("decode", "decode_multi"):
+            rest = (i32(B), i32(B), key_aval, f32(B), i32(B), f32(B))
+        elif kind == "prefill_multi":
+            n = statics.pop("n_prompts", B)
+            rest = (i32(n, statics["seq_len"]), i32(n), i32(n), key_aval,
+                    f32(n), i32(n), f32(n))
+        else:  # verify
+            rest = (i32(B, statics["s"]), i32(B))
+        inner = shard_map(
+            partial(impl, **statics), mesh=self.mesh,
+            in_specs=(self._pspecs, self._cache_specs())
+            + (P(),) * len(rest),
+            out_specs=(self._cache_specs(), P()),
+            check_vma=False)
+        params_avals = jax.tree.map(
+            lambda x: None if x is None else jax.ShapeDtypeStruct(
+                x.shape, x.dtype, sharding=getattr(x, "sharding", None)),
+            self.params, is_leaf=lambda x: x is None)
+        cache_avals = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(
+                x.shape, x.dtype, sharding=getattr(x, "sharding", None)),
+            self.cache)
+        return jax.jit(inner, donate_argnums=(1,)).lower(
+            params_avals, cache_avals, *rest)
+
     # -- TP-exact activation quantization over a feature-sharded axis ------
     def _tp_act_quant(self, x, qcfg):
         """Per-token fake-quant whose min/max ranges span the FULL feature

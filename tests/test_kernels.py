@@ -355,3 +355,56 @@ def test_kernel_large_m_dequant_once_route():
     ref = quant_matmul_reference(x, pw)
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-3)
+
+
+@pytest.mark.parametrize("bits,gs,layout", [
+    (4, 32, "planar"), (4, 32, "pairs"), (3, 32, "pairs"),
+    (6, 32, "planar"), (4, None, "planar")])
+def test_int_dense_large_m_matches_reference(bits, gs, layout):
+    """The large-m integer route (unpack-once + dense int8-MXU consume,
+    m >= _INT_DENSE_MIN_M) must evaluate the same quantized algebra as
+    the fake-quant oracle, for every wire layout and both grouped and
+    per-channel weights."""
+    from omniquant_tpu.kernels.quant_matmul import (
+        _INT_DENSE_MIN_M, _quant_matmul_int_dense, quant_matmul_int,
+        quant_matmul_reference)
+    from omniquant_tpu.models.common import ActQuantSpec
+    from omniquant_tpu.quant.quantizer import fake_quant_act
+
+    rng = np.random.default_rng(50 + bits)
+    acfg = ActQuantSpec.from_bits(4).act
+    out_f, in_f = 128, 160
+    w = jnp.asarray(rng.standard_normal((out_f, in_f)).astype(np.float32)
+                    * 0.5)
+    x = jnp.asarray(rng.standard_normal(
+        (_INT_DENSE_MIN_M, in_f)).astype(np.float32))
+    tk = (gs or 32) if layout == "planar" else None
+    pw = pack_weight(w, QuantConfig(n_bits=bits, group_size=gs),
+                     layout=layout, tile_k=tk)
+    got = _quant_matmul_int_dense(x, pw, acfg, interpret=True)
+    # the public entry routes large m to the dense path
+    got2 = quant_matmul_int(x, pw, acfg)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(got2))
+    want = quant_matmul_reference(fake_quant_act(x, acfg), pw)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5,
+        atol=2e-5 * float(jnp.max(jnp.abs(want))))
+
+
+def test_int_small_m_pairs_routes_to_fake_quant_pairs_kernel():
+    """Small-m pairs-layout weight+act quant == fake-quant + pairs kernel
+    exactly (the decode route; eval-oracle semantics)."""
+    from omniquant_tpu.kernels.quant_matmul import (
+        quant_matmul, quant_matmul_int)
+    from omniquant_tpu.models.common import ActQuantSpec
+    from omniquant_tpu.quant.quantizer import fake_quant_act
+
+    rng = np.random.default_rng(77)
+    acfg = ActQuantSpec.from_bits(4).act
+    w = jnp.asarray(rng.standard_normal((128, 160)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((8, 160)).astype(np.float32))
+    pw = pack_weight(w, QuantConfig(n_bits=4, group_size=32),
+                     layout="pairs")
+    got = quant_matmul_int(x, pw, acfg)
+    want = quant_matmul(fake_quant_act(x, acfg), pw)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

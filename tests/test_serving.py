@@ -326,3 +326,57 @@ def test_auto_grow_long_prompt_and_limit(tiny_llama):
     assert eng.max_len == 32
     with pytest.raises(RuntimeError, match="grow_limit"):
         eng._grow(4096)
+
+
+def test_auto_grow_prefetch_matches_and_uses_aot():
+    """prefetch_grow: the background-compiled grown-shape executables are
+    picked up by _grow/_aot_call and the token stream is identical to an
+    engine built big enough to never grow."""
+    import jax.numpy as jnp
+    from omniquant_tpu.models import llama as jllama
+
+    cfg = jllama.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256,
+    )
+    params = jllama.init_params(jax.random.PRNGKey(0), cfg)
+    big = LlamaEngine(params, cfg, max_batch=1, max_len=64,
+                      dtype=jnp.float32)
+    want = big.generate([5, 17, 9], max_new_tokens=24)
+    eng = LlamaEngine(params, cfg, max_batch=1, max_len=16,
+                      dtype=jnp.float32, auto_grow=True)
+    eng.prefetch_grow(steps={(1, False)})
+    eng._grow_prep[1].join()
+    got = eng.generate([5, 17, 9], max_new_tokens=24)
+    assert got == want, (got, want)
+    assert eng.max_len == 32
+    # the grown-shape decode executable was installed and dispatched
+    assert any(k[0] == "decode" and k[1] == 32 for k in eng._aot), (
+        list(eng._aot))
+
+
+def test_auto_grow_occupancy_trigger_prefetches():
+    """Crossing 3/4 occupancy starts the background prep automatically."""
+    import jax.numpy as jnp
+    from omniquant_tpu.models import llama as jllama
+
+    cfg = jllama.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=1, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256,
+    )
+    params = jllama.init_params(jax.random.PRNGKey(1), cfg)
+    eng = LlamaEngine(params, cfg, max_batch=1, max_len=32,
+                      dtype=jnp.float32, auto_grow=True)
+    slot = eng.add_request([5, 17, 9])
+    tok = eng._pending_next[slot]
+    assert eng._grow_prep is None
+    eng.lengths[slot] = 26  # > 3/4 of 32
+    res = eng.step({slot: tok})
+    assert eng._grow_prep is not None
+    eng._grow_prep[1].join()
+    # keep decoding into the growth: stream must stay valid
+    for _ in range(8):
+        res = eng.step({slot: res[slot]})
+    assert eng.max_len == 64
