@@ -302,6 +302,15 @@ def _qmm_call(x, qweight, scales_t, zeros_t, bits, group_size,
     return out[:m] if m_pad != m else out
 
 
+def _finite_zero_tie(x2: jax.Array) -> jax.Array:
+    """A (1, 1) ZERO of x2's dtype that (a) data-depends on x2, (b) stays
+    exactly 0 even when the sampled element is inf/NaN, and (c) survives
+    the algebraic simplifier (float mul-by-zero is never folded). Used to
+    anchor loop-invariant dequant/unpack work to its consumer."""
+    v = x2[:1, :1]
+    return jnp.where(jnp.isfinite(v), v, jnp.zeros_like(v)) * 0
+
+
 def quant_matmul(x: jax.Array, pw: PackedWeight, block_n: int = 2048,
                  interpret: Optional[bool] = None) -> jax.Array:
     """y = x @ dequant(pw) (+ bias). x: (..., in_features_logical).
@@ -338,13 +347,15 @@ def quant_matmul(x: jax.Array, pw: PackedWeight, block_n: int = 2048,
         # dependence XLA hoists every layer's (loop-invariant) dequant to
         # the program start and keeps all of them live at once — measured
         # +5.8 GB program memory (32 layers x 180 MB) and an HBM OOM on
-        # the 7B prefill. The zero is manufactured on the INTEGER domain
-        # (bitcast -> & 0) so a non-finite activation element can't poison
-        # it (IEEE 0 * inf = NaN would silently corrupt the whole weight
-        # matrix); the zero-add still fuses into the dequant epilogue.
-        ibits = {2: jnp.int16, 4: jnp.int32}[x2.dtype.itemsize]
-        zero = jnp.bitwise_and(
-            jax.lax.bitcast_convert_type(x2[:1, :1], ibits), 0)
+        # the 7B prefill. The tie must be (a) guaranteed zero even for a
+        # non-finite activation element (IEEE 0 * inf = NaN silently
+        # poisons the whole weight matrix) and (b) UNfoldable — integer
+        # x & 0 gets constant-folded by the algebraic simplifier, which
+        # severs the dependence and re-enables the hoist (measured OOM).
+        # where(isfinite(v), v, 0) * 0 satisfies both: inf/NaN route to
+        # the 0 branch, and XLA never folds float mul-by-zero (NaN/inf
+        # semantics). The add fuses into the dequant epilogue.
+        zero = _finite_zero_tie(x2)
         w = w + zero.astype(w.dtype)
         pad = w.shape[0] - x2.shape[-1]
         if pad:
@@ -676,13 +687,13 @@ def _quant_matmul_int_dense(x, pw: PackedWeight, act_cfg, interpret):
     # fuses the min/max/round passes into the producing ops for free
     xc, xs = quantize_act_int(x2, act_cfg)
     bits = pw.bits
-    # integer-domain zero tied to THIS call's activations: without the
-    # data dependence XLA hoists every layer's (loop-invariant) unpack to
-    # program start and keeps all the int8 code buffers live at once
-    # (same OOM mechanism as the bf16 dequant-once route above)
-    zero = jnp.bitwise_and(
-        jax.lax.bitcast_convert_type(xc[:1, :1], jnp.int8), 0
-    ).astype(jnp.int32)
+    # zero tied to THIS call's activations: without the data dependence
+    # XLA hoists every layer's (loop-invariant) unpack to program start
+    # and keeps all the int8 code buffers live at once (same OOM
+    # mechanism as the bf16 dequant-once route above). Derived from the
+    # float input via the finite-safe unfoldable tie, then cast (exact:
+    # the value is guaranteed 0.0).
+    zero = _finite_zero_tie(x2).astype(jnp.int32)
     w8 = _unpack_to_int8(pw.qweight, zero, bits, pw.tile_k, pw.layout,
                          interpret)
     k_pad = w8.shape[0]

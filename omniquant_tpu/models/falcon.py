@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..quant.quantizer import QuantConfig, fake_quant_weight
+from ..quant.packing import PackedWeight
 from .common import (
     ActQuantSpec,
     NO_ACT_QUANT,
@@ -274,6 +275,12 @@ def head(params: dict, hidden: jax.Array, cfg: FalconConfig) -> jax.Array:
     lm_head = params.get("lm_head")
     if lm_head is None:
         lm_head = params["word_embeddings"]
+    if isinstance(lm_head, PackedWeight):
+        # a PACKED lm_head (e.g. a speculative draft's quantized head —
+        # serving/spec_decode.py pack_draft_head): fused dequant-matmul
+        from ..kernels.quant_matmul import quant_matmul
+
+        return quant_matmul(hidden, lm_head)
     return hidden @ lm_head.T
 
 

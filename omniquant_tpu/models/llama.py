@@ -28,6 +28,7 @@ from ..quant.transform import (
     smooth_q_k,
     truncate_number,
 )
+from ..quant.packing import PackedWeight
 from .common import (
     ActQuantSpec,
     NO_ACT_QUANT,
@@ -310,6 +311,12 @@ def head(params: dict, hidden: jax.Array, cfg: LlamaConfig) -> jax.Array:
     lm_head = params.get("lm_head")
     if lm_head is None:
         lm_head = params["embed_tokens"]
+    if isinstance(lm_head, PackedWeight):
+        # a PACKED lm_head (e.g. a speculative draft's quantized head —
+        # serving/spec_decode.py pack_draft_head): fused dequant-matmul
+        from ..kernels.quant_matmul import quant_matmul
+
+        return quant_matmul(hidden, lm_head)
     return hidden @ lm_head.T
 
 

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 
 from ..quant.quantizer import QuantConfig, fake_quant_weight
 from ..quant.transform import smooth_fc_fc, smooth_ln_fcs, smooth_q_k, truncate_number
+from ..quant.packing import PackedWeight
 from .common import (
     ActQuantSpec,
     NO_ACT_QUANT,
@@ -258,6 +259,12 @@ def head(params: dict, hidden: jax.Array, cfg: OPTConfig) -> jax.Array:
     lm_head = params.get("lm_head")
     if lm_head is None:
         lm_head = params["embed_tokens"]
+    if isinstance(lm_head, PackedWeight):
+        # a PACKED lm_head (e.g. a speculative draft's quantized head —
+        # serving/spec_decode.py pack_draft_head): fused dequant-matmul
+        from ..kernels.quant_matmul import quant_matmul
+
+        return quant_matmul(hidden, lm_head)
     return hidden @ lm_head.T
 
 

@@ -74,7 +74,7 @@ class SpecDecoder:
     """
 
     def __init__(self, target, draft=None, draft_layers: int = 4,
-                 gamma: int = 4):
+                 gamma: int = 4, draft_head_bits: Optional[int] = None):
         self.target = target
         self.gamma = gamma
         if draft is None:
@@ -99,8 +99,26 @@ class SpecDecoder:
                     layer_skip_params(target._raw_params, d), dcfg,
                     target.mesh, **kw)
             else:
-                draft = type(target)(
-                    layer_skip_params(target.params, d), dcfg, **kw)
+                dparams = layer_skip_params(target.params, d)
+                if draft_head_bits:
+                    # pack the DRAFT's lm_head: at decode the dense bf16
+                    # head (vocab x hidden, ~250 MB at 7B) costs as much
+                    # HBM as ~2.4 packed layers per draft step; the
+                    # target's head (whose argmaxes define the emitted
+                    # stream) stays untouched — draft quality only
+                    # affects speed, never output
+                    from ..quant import QuantConfig, pack_weight
+
+                    emb = (dparams.get("lm_head")
+                           if dparams.get("lm_head") is not None
+                           else dparams["embed_tokens"])
+                    dparams = dict(dparams)
+                    gs = 128 if emb.shape[1] % 128 == 0 else None
+                    dparams["lm_head"] = pack_weight(
+                        emb.astype(jnp.float32),
+                        QuantConfig(n_bits=draft_head_bits,
+                                    group_size=gs), layout="auto")
+                draft = type(target)(dparams, dcfg, **kw)
         self.draft = draft
         # running stats: proposals made / accepted (speed diagnostics)
         self.proposed = 0

@@ -1,0 +1,90 @@
+"""Measured speculative decoding with a REAL accepting draft: the same
+random 7B checkpoint packed at W2g128 drafts for the W4g128 target
+(VERDICT r4 next #2 — replace modeled alphas with measured acceptance).
+
+The W2 draft computes nearly the same function as the W4 target (same
+underlying weights, coarser grid), so argmax agreement is a property of
+quantization fidelity — the real mechanism real checkpoints rely on —
+not of trained-model redundancy. Reports plain-decode tok/s, fused-round
+spec tok/s, measured acceptance, and round cost in sequential-token
+units, at several gamma.
+"""
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/repo/cache/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    import bench
+    from omniquant_tpu.serving.engine import LlamaEngine
+    from omniquant_tpu.serving.spec_decode import SpecDecoder
+
+    batch = 8
+    cfg = bench.make_cfg(1024)
+    p4 = bench.build_7b_packed_params(cfg, jnp.bfloat16, bits=4)
+    p2 = bench.build_7b_packed_params(cfg, jnp.bfloat16, bits=2)
+    target = LlamaEngine(p4, cfg, max_batch=batch, max_len=1024,
+                         dtype=jnp.bfloat16)
+    draft = LlamaEngine(p2, cfg, max_batch=batch, max_len=1024,
+                        dtype=jnp.bfloat16)
+    rng = np.random.default_rng(2)
+    prompts = [list(rng.integers(0, 32000, 128)) for _ in range(batch)]
+    slots = target.add_requests(prompts)
+    dslots = draft.add_requests(prompts)
+    assert slots == dslots
+    last = {s: target._pending_next[s] for s in slots}
+
+    def reset():
+        target.lengths[slots] = 128
+        draft.lengths[slots] = 128
+
+    # plain sequential decode baseline
+    target.step_n(dict(last), 8)
+    reset()
+    t0 = time.time()
+    for _ in range(3):
+        target.step_n(dict(last), 8)
+        reset()
+    seq_tok_ms = (time.time() - t0) / 3 / 8 * 1e3
+    plain_tok_s = batch / seq_tok_ms * 1e3
+    print(f"plain decode: {seq_tok_ms:.2f} ms/tok-step = "
+          f"{plain_tok_s:.1f} tok/s", file=sys.stderr)
+
+    for gamma in (4, 8):
+        sd = SpecDecoder(target, draft=draft, gamma=gamma)
+        sd.proposed = sd.accepted = 0
+        r = 4
+
+        def fused():
+            out = sd.spec_steps(dict(last), rounds=r)
+            reset()
+            return out
+
+        fused()  # compile
+        sd.proposed = sd.accepted = 0
+        t0 = time.time()
+        n_disp, emitted = 4, 0
+        for _ in range(n_disp):
+            out = fused()
+            emitted += sum(len(t) for t in out.values())
+        dt = time.time() - t0
+        round_ms = dt / n_disp / r * 1e3
+        tok_s = emitted / dt
+        print(f"gamma={gamma}: round {round_ms:.2f} ms = "
+              f"{round_ms/seq_tok_ms:.2f} seq-tokens, accept/token "
+              f"{sd.acceptance_rate:.3f}, measured {tok_s:.1f} tok/s "
+              f"({tok_s/plain_tok_s:.2f}x plain)", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

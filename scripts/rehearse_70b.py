@@ -108,7 +108,7 @@ def shard_bytes(tree, tp: int) -> int:
     return total
 
 
-def rehearse(layers=80, max_batch=8, max_len=2048, tp=8, n_steps=8,
+def rehearse(layers=80, max_batch=8, max_len=2048, tp=8, n_steps=1,
              bits=3, gs=128):
     from omniquant_tpu.models import llama as jllama
     from omniquant_tpu.parallel import make_mesh

@@ -334,3 +334,21 @@ def test_sampling_spec_generate_runs(tiny_llama):
     out = sd.generate([5, 17, 9, 2], max_new_tokens=24, temperature=0.8)
     assert len(out) == 24
     assert all(0 <= t < cfg.vocab_size for t in out)
+
+
+def test_layer_skip_packed_draft_head_exact(tiny_llama):
+    """draft_head_bits packs the DRAFT's lm_head; the emitted stream must
+    still be the target's exact greedy continuation (draft quality only
+    affects speed)."""
+    cfg, params = tiny_llama
+    target = LlamaEngine(params, cfg, max_batch=1, max_len=64,
+                         dtype=jnp.float32)
+    want = target.generate([5, 17, 9], max_new_tokens=16)
+    target2 = LlamaEngine(params, cfg, max_batch=1, max_len=64,
+                          dtype=jnp.float32)
+    sd = SpecDecoder(target2, draft_layers=1, gamma=3, draft_head_bits=4)
+    from omniquant_tpu.quant.packing import PackedWeight
+
+    assert isinstance(sd.draft.params.get("lm_head"), PackedWeight)
+    got = sd.generate([5, 17, 9], max_new_tokens=16)
+    assert got == want, (got, want)
