@@ -30,12 +30,12 @@ def main():
     from omniquant_tpu.serving.spec_decode import SpecDecoder
 
     batch = 8
-    cfg = bench.make_cfg(1024)
+    cfg = bench.make_cfg(512)
     p4 = bench.build_7b_packed_params(cfg, jnp.bfloat16, bits=4)
     p2 = bench.build_7b_packed_params(cfg, jnp.bfloat16, bits=2)
-    target = LlamaEngine(p4, cfg, max_batch=batch, max_len=1024,
+    target = LlamaEngine(p4, cfg, max_batch=batch, max_len=512,
                          dtype=jnp.bfloat16)
-    draft = LlamaEngine(p2, cfg, max_batch=batch, max_len=1024,
+    draft = LlamaEngine(p2, cfg, max_batch=batch, max_len=512,
                         dtype=jnp.bfloat16)
     rng = np.random.default_rng(2)
     prompts = [list(rng.integers(0, 32000, 128)) for _ in range(batch)]
