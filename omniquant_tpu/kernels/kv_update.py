@@ -247,3 +247,192 @@ def kv_cache_prefill_write(cache: jax.Array, new: jax.Array,
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     return _kv_prefill(slots, new, cache, interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# span writes: `span` CONTIGUOUS rows per slot in one RMW
+#
+# The per-step write kernel above issues 2 DMAs per (slot, cache) for ONE
+# row — measured IN SITU (scripts/exp_engine_attrib.py) those latency-bound
+# little DMAs cost 5.1 ms of a 22.4 ms int8-KV decode step (batch 32, 32
+# layers x 4 buffers x 32 slots). The serving engines therefore STAGE
+# decode tokens in a ring buffer (serving/engine.py::_decode_multi_impl)
+# and flush n_steps contiguous rows at once through this kernel: the same
+# 2 DMAs per (slot, cache) now carry `span` rows (the RMW tile grows from
+# 8 to ceil((7+span)/8)*8 sublanes), an 8x amortization at step_n(8). The
+# speculative-decoding verify pass writes its s contiguous positions the
+# same way (one call instead of s chained ones).
+
+
+def _span_kernel(B: int, span: int, T: int, n: int, len_ref, *refs):
+    """refs = (lens_vmem, news..., caches..., outs..., scratches..., sem).
+
+    Per slot: RMW the T-sublane tile range [pa, pa+T) of cache dim 2 where
+    pa = min((pos//8)*8, S-T) — T is sized so pos%8 + span <= T, and the
+    clamp keeps the tile in bounds near the buffer end (the span itself is
+    bounds-checked by the engine's capacity guard)."""
+    lens_vmem = refs[0]
+    news = refs[1 : 1 + n]
+    caches = refs[1 + n : 1 + 2 * n]
+    outs = refs[1 + 2 * n : 1 + 3 * n]
+    scratches = refs[1 + 3 * n : 1 + 4 * n]
+    sem = refs[-1]
+    S = caches[0].shape[2]
+
+    def base(b):
+        # clamp BEFORE the tile floor: Mosaic must prove the slice base is
+        # 8-divisible, which (min(pos, S-T) // 8) * 8 is syntactically
+        # (min of two divisibles is not, to its prover); S-T is 8-divisible
+        # so the two forms agree
+        return (jnp.minimum(len_ref[b], S - T) // 8) * 8
+
+    def tile(ref, i, b):
+        return ref.at[pl.ds(b, 1), :, pl.ds(base(b), T), :]
+
+    for i in range(n):
+        for b in range(B):
+            pltpu.make_async_copy(
+                tile(caches[i], i, b), scratches[i].at[pl.ds(b, 1)],
+                sem.at[i, b]).start()
+    for i in range(n):
+        for b in range(B):
+            pltpu.make_async_copy(
+                tile(caches[i], i, b), scratches[i].at[pl.ds(b, 1)],
+                sem.at[i, b]).wait()
+    pos_v = lens_vmem[:].reshape(B, 1, 1, 1)
+    pa_v = (jnp.minimum(pos_v, S - T) // 8) * 8
+    off = pos_v - pa_v  # (B, 1, 1, 1), in [0, 8) away from the clamp
+    for i in range(n):
+        row = jax.lax.broadcasted_iota(jnp.int32, scratches[i].shape, 2)
+        acc = scratches[i][:]
+        for j in range(span):
+            sel = row == off + j
+            acc = jnp.where(
+                sel,
+                jnp.broadcast_to(news[i][:, :, j : j + 1, :], acc.shape),
+                acc)
+        scratches[i][:] = acc
+    for i in range(n):
+        for b in range(B):
+            pltpu.make_async_copy(
+                scratches[i].at[pl.ds(b, 1)], tile(outs[i], i, b),
+                sem.at[i, b]).start()
+    for i in range(n):
+        for b in range(B):
+            pltpu.make_async_copy(
+                scratches[i].at[pl.ds(b, 1)], tile(outs[i], i, b),
+                sem.at[i, b]).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _kv_write_span(lengths, news, caches, interpret=False):
+    B = lengths.shape[0]
+    n = len(caches)
+    span = news[0].shape[2]
+    T = -(-(7 + span) // 8) * 8
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=(
+            [pl.BlockSpec(memory_space=pltpu.VMEM)]
+            + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in news]
+            + [pl.BlockSpec(memory_space=pl.ANY) for _ in caches]
+        ),
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY) for _ in caches],
+        scratch_shapes=(
+            [pltpu.VMEM((B, c.shape[1], T, c.shape[3]), c.dtype)
+             for c in caches]
+            + [pltpu.SemaphoreType.DMA((n, B))]
+        ),
+    )
+    out = pl.pallas_call(
+        functools.partial(_span_kernel, B, span, T, n),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(c.shape, c.dtype) for c in caches],
+        input_output_aliases={2 + n + i: i for i in range(n)},
+        # the compiler's accounting of the scratch + staged news blocks
+        # lands ~2.8x the raw sizes (measured: one bf16 (32,32,512,128)
+        # cache call = 16.4 MB against the default 16 MB scoped limit);
+        # the kernel is DMA-latency-bound, so trading VMEM headroom for
+        # fewer calls is the right side of the bargain on a 128 MB part
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(lengths.astype(jnp.int32), lengths.astype(jnp.int32)[:, None],
+      *news, *caches)
+    return tuple(out)
+
+
+def kv_cache_write_span(caches: Sequence[jax.Array],
+                        news: Sequence[jax.Array],
+                        lengths: jax.Array, interpret=None):
+    """Write `span` contiguous rows per slot into each (B, H, S, D) cache.
+
+    news: each (B, H, span, D) — rows land at positions
+          lengths[b] .. lengths[b]+span-1 of slot b (caller guarantees
+          lengths[b]+span <= S for live slots). Buffers aliased in place.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    span = news[0].shape[2]
+    T = -(-(7 + span) // 8) * 8
+    S = caches[0].shape[2]
+    if S < T:
+        # buffer too short for the RMW tile (tiny test configs): fall back
+        # to chained single-row writes
+        bufs = tuple(caches)
+        for j in range(span):
+            bufs = kv_cache_write(
+                bufs, tuple(x[:, :, j] for x in news), lengths + j,
+                interpret=interpret)
+        return bufs
+    # VMEM budget grouping as in kv_cache_write: per cache one (B, H, T, D)
+    # scratch + the (B, H, span, D) news block, each of which the compiler
+    # may double-buffer — counted with a 2x allowance against the raised
+    # per-call vmem limit below (k+v pairs should share a call so their
+    # DMAs overlap)
+    budget = 40 * 1024 * 1024
+    groups, cur, cur_bytes = [], [], 0
+    for i, c in enumerate(caches):
+        sz = (2 * (T + span)
+              * c.shape[0] * c.shape[1] * c.shape[3] * c.dtype.itemsize)
+        if cur and cur_bytes + sz > budget:
+            groups.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append(i)
+        cur_bytes += sz
+    groups.append(cur)
+    out = [None] * len(caches)
+    for g in groups:
+        res = _kv_write_span(
+            lengths, tuple(news[i] for i in g), tuple(caches[i] for i in g),
+            interpret=interpret)
+        for i, r in zip(g, res):
+            out[i] = r
+    return tuple(out)
+
+
+def scale_plane_write_span(plane: jax.Array, vals: jax.Array,
+                           lengths: jax.Array) -> jax.Array:
+    """Write (B, H, span) per-token scales at positions
+    lengths[b]..lengths[b]+span-1 of each slot's flat scale plane.
+
+    Implemented as a DENSE one-hot contraction + select, not a scatter:
+    a vmapped dynamic_update_slice was measured at ~117 us per plane on
+    v5e (batch 32 — XLA serializes the per-slot starts), while this form
+    is one tiny (B, S, span) x (B, H, span) einsum plus an elementwise
+    select over the ~2 MB plane — pure MXU/VPU work that fuses."""
+    B, H, s8, _ = plane.shape
+    S = s8 * 128
+    flat = plane.reshape(B, H, S)
+    pos = jnp.arange(S, dtype=jnp.int32)[None, :]          # (1, S)
+    base = lengths.astype(jnp.int32)[:, None]              # (B, 1)
+    span = vals.shape[2]
+    onehot = (pos[:, :, None]
+              == base[:, :, None] + jnp.arange(span)[None, None, :])
+    placed = jnp.einsum(
+        "bsj,bhj->bhs", onehot.astype(flat.dtype),
+        vals.astype(flat.dtype))
+    in_win = (pos >= base) & (pos < base + span)            # (B, S)
+    flat = jnp.where(in_win[:, None, :], placed, flat)
+    return flat.reshape(B, H, s8, 128)

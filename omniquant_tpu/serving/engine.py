@@ -23,8 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..kernels.kv_update import (
-    kv_cache_prefill_write, kv_cache_write, scale_plane_init,
-    scale_plane_view)
+    kv_cache_prefill_write, kv_cache_write, kv_cache_write_span,
+    scale_plane_init, scale_plane_view, scale_plane_write_span)
 from ..models.common import (
     ActQuantSpec, NO_ACT_QUANT, linear, maybe_quant, repeat_kv, rms_norm)
 from ..models import llama as jllama
@@ -381,6 +381,18 @@ class LlamaEngine:
         q, k, v = self._attn_qkv(p, hidden, positions)
         q, k, v = self._quant_qkv(q, k, v)
         committed = commit(k, v)
+        if len(committed) == 9 and committed[0] == "int8win+ring":
+            # ring-staged decode (see _decode_multi_impl): the staged
+            # tokens ride INSIDE the fused kernel as an extra tiny chunk
+            # (codes+scales, static fill count) after the [0, base) window
+            from ..kernels.decode_attention import decode_attention_int8
+
+            (_, kv_len, kc, ks, vc, vs, ring_kv, i_step, base) = committed
+            attn = decode_attention_int8(
+                q[:, :, 0], kc, ks, vc, vs,
+                (base - 1).astype(jnp.int32), kv_len, self._sm_scale(),
+                out_dtype=self.dtype, ring_kv=ring_kv, ring_n=i_step)
+            return self._attn_out(p, attn.reshape(b, s, -1))
         if len(committed) == 6 and committed[0] == "int8win":
             from ..kernels.decode_attention import decode_attention_int8
 
@@ -517,10 +529,18 @@ class LlamaEngine:
                     kc, ks = _quantize_kv(k[:, :, 0])
                     vc, vs = _quantize_kv(v[:, :, 0])
                     cks, cvs = list(cache.k_scale), list(cache.v_scale)
-                    (ck[_li], cv[_li], cks[_li], cvs[_li]) = kv_cache_write(
-                        (cache.k[_li], cache.v[_li],
-                         cache.k_scale[_li], cache.v_scale[_li]),
-                        (kc, vc, ks[..., 0], vs[..., 0]), lengths)
+                    # codes through the rows-RMW kernel; scale planes via
+                    # the batched-DUS scatter — the planes' "flat" RMW was
+                    # measured IN SITU at ~4 ms/step of the 5.1 ms write
+                    # cost at batch 32 (scripts/exp_engine_attrib.py: the
+                    # plane tiles' per-slot DMAs are pure latency), while
+                    # the 2 MB plane scatter copies are noise
+                    ck[_li], cv[_li] = kv_cache_write(
+                        (cache.k[_li], cache.v[_li]), (kc, vc), lengths)
+                    cks[_li] = scale_plane_write_span(
+                        cache.k_scale[_li], ks, lengths)
+                    cvs[_li] = scale_plane_write_span(
+                        cache.v_scale[_li], vs, lengths)
                     cache = KVCache(ck, cv, cks, cvs)
                     if self.attn_kernel:
                         # hand the raw int8 buffers (full max_len shape —
@@ -572,33 +592,28 @@ class LlamaEngine:
             0.0, neg).astype(self.dtype)  # (B, 1, s, kv_len)
         for li, p in enumerate(params["layers"]):
             def commit(k, v, _li=li):
-                # k/v (B, n_kv, s, hd): write each position through the RMW
-                # kernel (chained through the aliased buffers)
+                # k/v (B, n_kv, s, hd): the s positions are CONTIGUOUS per
+                # slot, so ONE span RMW writes them all (vs s chained
+                # single-row kernel calls — the per-slot DMA latency was
+                # measured to dominate, scripts/exp_engine_attrib.py)
                 nonlocal cache
                 ck, cv = list(cache.k), list(cache.v)
                 if self.kv_int8:
                     kc, ks = _quantize_kv(k)
                     vc, vs = _quantize_kv(v)
                     cks, cvs = list(cache.k_scale), list(cache.v_scale)
-                    bufs = (cache.k[_li], cache.v[_li],
-                            cache.k_scale[_li], cache.v_scale[_li])
-                    for i in range(s):
-                        bufs = kv_cache_write(
-                            bufs,
-                            (kc[:, :, i], vc[:, :, i],
-                             ks[:, :, i, 0], vs[:, :, i, 0]),
-                            lengths + i)
-                    ck[_li], cv[_li], cks[_li], cvs[_li] = bufs
+                    ck[_li], cv[_li] = kv_cache_write_span(
+                        (cache.k[_li], cache.v[_li]), (kc, vc), lengths)
+                    cks[_li] = scale_plane_write_span(
+                        cache.k_scale[_li], ks[..., 0], lengths)
+                    cvs[_li] = scale_plane_write_span(
+                        cache.v_scale[_li], vs[..., 0], lengths)
                     cache = KVCache(ck, cv, cks, cvs)
                 else:
-                    bufs = (cache.k[_li], cache.v[_li])
-                    for i in range(s):
-                        bufs = kv_cache_write(
-                            bufs,
-                            (k[:, :, i].astype(bufs[0].dtype),
-                             v[:, :, i].astype(bufs[1].dtype)),
-                            lengths + i)
-                    ck[_li], cv[_li] = bufs
+                    ck[_li], cv[_li] = kv_cache_write_span(
+                        (cache.k[_li], cache.v[_li]),
+                        (k.astype(cache.k[_li].dtype),
+                         v.astype(cache.v[_li].dtype)), lengths)
                     cache = KVCache(ck, cv, None, None)
                 return self._read_kv(cache, _li, kv_len)
             x = self._block(p, x, positions, mask, commit)
@@ -620,16 +635,110 @@ class LlamaEngine:
 
         Statically unrolled rather than lax.fori_loop: XLA double-buffers a
         loop-carried cache (2x HBM — OOM at 7B), while the unrolled chain
-        aliases the donated buffers like sequential calls do."""
-        toks, lens = last_tokens, lengths
+        aliases the donated buffers like sequential calls do.
+
+        RING-STAGED WRITES: the per-step positioned cache write was
+        measured in situ at 5.1 ms of a 22.4 ms int8-KV step (batch 32 —
+        scripts/exp_engine_attrib.py: 32 slots x 4 buffers x 2 latency-
+        bound DMAs per layer per step). Instead, each step i stores its
+        new k/v at a STATIC index (XLA fuses a static-index update — no
+        scatter, no kernel): the fused int8 kernel path stages into small
+        per-layer ring arrays the kernel attends as an extra in-kernel
+        chunk; the dense paths stage into the UNUSED tail rows
+        [kv_len, kv_len+n) of the cache buffer itself (every row >= kv_len
+        is beyond any live sequence by bucketing), so attention reads ONE
+        contiguous [0, kv_len+n) window with a two-zone mask — no concat
+        copy. ONE span write per layer flushes the n_steps contiguous
+        rows to their per-slot positions at dispatch end — the same 2
+        DMAs per (slot, cache) now carry n_steps rows
+        (kv_update.kv_cache_write_span). The staging never escapes the
+        program, so prefill/verify/grow paths are untouched. Falcon-ALiBi
+        keeps the per-step path: its additive-mask bias indexes absolute
+        key positions, which the staged-zone mask layout does not
+        preserve (_use_ring)."""
+        if n_steps == 1 or not self._use_ring():
+            toks, lens = last_tokens, lengths
+            outs = []
+            for i in range(n_steps):
+                cache, toks = self._decode_impl(
+                    params, cache, toks, lens, jax.random.fold_in(key, i),
+                    temps, top_ks, top_ps, kv_len, do_sample)
+                lens = lens + 1
+                outs.append(toks)
+            return cache, jnp.stack(outs, axis=1)
+
+        B = self.max_batch
+        L = len(params["layers"])
+        base = lengths
+        R = n_steps
+        neg = jnp.finfo(self.dtype).min
+        kv_positions = jnp.arange(kv_len)
+        # cache part: strictly past (staged tokens live in the ring);
+        # the fused kernel carries its own masking — this mask only rides
+        # through _block's signature
+        mask = jnp.where(
+            kv_positions[None, :] < base[:, None], 0.0, neg
+        ).astype(self.dtype)[:, None, None, :]  # (B, 1, 1, kv_len)
+        rings = [None] * L
+        toks = last_tokens
         outs = []
         for i in range(n_steps):
-            cache, toks = self._decode_impl(
-                params, cache, toks, lens, jax.random.fold_in(key, i),
-                temps, top_ks, top_ps, kv_len, do_sample)
-            lens = lens + 1
+            positions = (base + i)[:, None]
+            x = self._embed(params, toks[:, None], positions)
+            for li, p in enumerate(params["layers"]):
+                def commit(k, v, _li=li, _i=i):
+                    # small per-layer ring arrays; the kernel attends
+                    # them as an extra chunk (codes+scales fold in
+                    # exactly like the cache chunks)
+                    kc, ks = _quantize_kv(k[:, :, 0])
+                    vc, vs = _quantize_kv(v[:, :, 0])
+                    st = rings[_li]
+                    if st is None:
+                        zc = jnp.zeros(
+                            kc.shape[:2] + (R, kc.shape[2]), jnp.int8)
+                        zs = jnp.zeros(
+                            ks.shape[:2] + (R,), jnp.float32)
+                        st = {"kc": zc, "vc": zc, "ks": zs, "vs": zs}
+                    st = {
+                        "kc": st["kc"].at[:, :, _i].set(kc),
+                        "vc": st["vc"].at[:, :, _i].set(vc),
+                        "ks": st["ks"].at[:, :, _i].set(ks[:, :, 0]),
+                        "vs": st["vs"].at[:, :, _i].set(vs[:, :, 0]),
+                    }
+                    rings[_li] = st
+                    bl = cache.k[_li].shape[2]
+                    return ("int8win+ring", kv_len,
+                            cache.k[_li],
+                            scale_plane_view(cache.k_scale[_li], bl),
+                            cache.v[_li],
+                            scale_plane_view(cache.v_scale[_li], bl),
+                            (st["kc"], st["ks"], st["vc"], st["vs"]),
+                            _i, base)
+                x = self._block(p, x, positions, mask, commit)
+            logits = self._head(params, x)
+            toks = self._select(
+                logits[:, 0], jax.random.fold_in(key, i), temps, top_ks,
+                top_ps, do_sample)
             outs.append(toks)
+        # flush: one span write per layer moves the n_steps staged rows to
+        # their per-slot positions
+        ck, cv = list(cache.k), list(cache.v)
+        cks, cvs = list(cache.k_scale), list(cache.v_scale)
+        for li in range(L):
+            st = rings[li]
+            ck[li], cv[li] = kv_cache_write_span(
+                (ck[li], cv[li]), (st["kc"], st["vc"]), base)
+            cks[li] = scale_plane_write_span(cks[li], st["ks"], base)
+            cvs[li] = scale_plane_write_span(cvs[li], st["vs"], base)
+        cache = KVCache(ck, cv, cks, cvs)
         return cache, jnp.stack(outs, axis=1)
+
+    def _use_ring(self) -> bool:
+        """Whether _decode_multi_impl stages decode tokens in ring arrays
+        the fused kernel attends in-kernel (int8 + attn_kernel engines
+        only; ALiBi falcon clears attn_kernel, taking the dense path whose
+        mask carries the positional bias)."""
+        return self.attn_kernel
 
     # ------------------------------------------------------------------
     # host-side continuous batching API
@@ -1113,6 +1222,14 @@ class FalconEngine(LlamaEngine):
         a.rope_theta = cfg.rope_theta
         a.hidden_size = cfg.hidden_size
         super().__init__(params, a, **kw)
+        if cfg.alibi:
+            # the fused int8 decode kernel computes plain causal attention
+            # and never sees the additive mask the ALiBi bias is folded
+            # into (_block) — routing an ALiBi model through it silently
+            # drops the positional bias (measured: streams diverge from
+            # the dense path within a few steps). ALiBi + int8 uses the
+            # dense dequant path, whose mask carries the bias.
+            self.attn_kernel = False
 
     def _alibi_slopes(self):
         if not self._fcfg.alibi:

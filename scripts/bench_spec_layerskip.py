@@ -1,0 +1,118 @@
+"""Measured layer-skip speculative decoding with REAL acceptance
+(VERDICT r4 next #2: replace modeled alphas with measured ones).
+
+A RANDOM checkpoint's layer-skip draft accepts ~0: with i.i.d. weights
+every block perturbs the stream at full magnitude, and 32000-vocab random
+logits have noise-level argmax gaps, so the first-4-layer draft is
+uncorrelated with the full model. Real checkpoints accept 0.7-0.9 because
+trained deep layers contribute DIMINISHING residual updates (the property
+LayerSkip/self-speculation exploits). This bench reproduces that
+structure synthetically and honestly: layers >= d get their residual
+branches (o_proj / down_proj) scaled by a damping factor c — applied
+EXACTLY via the packed weights' dequant scales, so the target still runs
+the full 32-layer packed compute at full HBM traffic and its stream is
+still defined by its own argmaxes. Acceptance is then MEASURED through
+the standard verify machinery at several c (c=1 recovers the random
+floor; smaller c = more LayerSkip-like). Reported tok/s is real
+end-to-end engine throughput; nothing is modeled.
+"""
+import dataclasses
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+
+def damp_layers(params, d, c):
+    """Scale residual-branch outputs of layers >= d by c (exact: scales
+    multiply the dequantized weight)."""
+    out = dict(params)
+    layers = []
+    for li, p in enumerate(params["layers"]):
+        if li < d:
+            layers.append(p)
+            continue
+        p = dict(p)
+        for name in ("o_proj", "down_proj"):
+            pw = p[name]
+            p[name] = dataclasses.replace(pw, scales=pw.scales * c)
+        layers.append(p)
+    out["layers"] = layers
+    return out
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/repo/cache/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    import bench
+    from omniquant_tpu.serving.engine import LlamaEngine
+    from omniquant_tpu.serving.spec_decode import SpecDecoder
+
+    batch, d, g, r = 8, 4, 4, 4
+    cfg = bench.make_cfg(512)
+    p4 = bench.build_7b_packed_params(cfg, jnp.bfloat16, bits=4)
+    rng = np.random.default_rng(2)
+    prompts = [list(rng.integers(0, 32000, 128)) for _ in range(batch)]
+
+    plain_tok_s = None
+    for c in (1.0, 0.3, 0.1, 0.03):
+        params = damp_layers(p4, d, c)
+        target = LlamaEngine(params, cfg, max_batch=batch, max_len=512,
+                             dtype=jnp.bfloat16)
+        slots = target.add_requests(prompts)
+        last = {s: target._pending_next[s] for s in slots}
+
+        def reset():
+            target.lengths[slots] = 128
+            sd.draft.lengths[slots] = 128
+
+        if plain_tok_s is None:
+            target.step_n(dict(last), 8)
+            target.lengths[slots] = 128
+            t0 = time.time()
+            for _ in range(3):
+                target.step_n(dict(last), 8)
+                target.lengths[slots] = 128
+            seq_tok_ms = (time.time() - t0) / 3 / 8 * 1e3
+            plain_tok_s = batch / seq_tok_ms * 1e3
+            print(f"plain decode: {seq_tok_ms:.2f} ms/tok-step = "
+                  f"{plain_tok_s:.1f} tok/s aggregate", file=sys.stderr)
+
+        sd = SpecDecoder(target, draft_layers=d, gamma=g,
+                         draft_head_bits=4)
+        dslots = sd.draft.add_requests(prompts)
+        assert dslots == slots
+
+        def fused():
+            out = sd.spec_steps(dict(last), rounds=r)
+            reset()
+            return out
+
+        fused()  # compile
+        sd.proposed = sd.accepted = 0
+        t0 = time.time()
+        n_disp, emitted = 4, 0
+        for _ in range(n_disp):
+            out = fused()
+            emitted += sum(len(t) for t in out.values())
+        dt = time.time() - t0
+        round_ms = dt / n_disp / r * 1e3
+        tok_s = emitted / dt
+        print(f"c={c:<5} round {round_ms:6.2f} ms = "
+              f"{round_ms / (batch / plain_tok_s * 1e3):.2f} seq-tokens, "
+              f"accept/token {sd.acceptance_rate:.3f}, measured "
+              f"{tok_s:7.1f} tok/s ({tok_s / plain_tok_s:.2f}x plain)",
+              file=sys.stderr)
+        bench.free_engine(target)
+        bench.free_engine(sd.draft)
+
+
+if __name__ == "__main__":
+    main()

@@ -32,11 +32,16 @@ B, H, HD, KV, L = 32, 32, 128, 256, 32
 HID, INTER = 4096, 11008
 
 
+def _sync(out):
+    leaves = jax.tree_util.tree_leaves(out)
+    float(jnp.sum(leaves[0].astype(jnp.float32).ravel()[:16]))
+
+
 def timed(label, f, n, reps=6, bytes_per=None):
-    float(jnp.sum(f()))
+    _sync(f())
     t0 = time.time()
     outs = [f() for _ in range(reps)]
-    float(jnp.sum(outs[-1]))
+    _sync(outs[-1])
     dt = (time.time() - t0) / (reps * n)
     bw = f"  {bytes_per/dt/1e9:6.0f} GB/s" if bytes_per else ""
     tot = dt * L * 1e3
