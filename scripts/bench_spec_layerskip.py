@@ -58,11 +58,23 @@ def main():
     batch, d, g, r = 8, 4, 4, 4
     cfg = bench.make_cfg(512)
     p4 = bench.build_7b_packed_params(cfg, jnp.bfloat16, bits=4)
+    keep = {id(x) for x in jax.tree.leaves(p4)}
+
+    def free(eng):
+        """free_engine, but protecting THIS script's shared raw buffers
+        (they are not in bench._PARAM_CACHE)."""
+        bench.free_buffers(eng.cache)
+        for x in jax.tree.leaves(eng.params):
+            if hasattr(x, "delete") and id(x) not in keep:
+                try:
+                    x.delete()
+                except Exception:
+                    pass
     rng = np.random.default_rng(2)
     prompts = [list(rng.integers(0, 32000, 128)) for _ in range(batch)]
 
     plain_tok_s = None
-    for c in (1.0, 0.3, 0.1, 0.03):
+    for c in (0.01, 0.003):
         params = damp_layers(p4, d, c)
         target = LlamaEngine(params, cfg, max_batch=batch, max_len=512,
                              dtype=jnp.bfloat16)
@@ -85,33 +97,43 @@ def main():
             print(f"plain decode: {seq_tok_ms:.2f} ms/tok-step = "
                   f"{plain_tok_s:.1f} tok/s aggregate", file=sys.stderr)
 
-        sd = SpecDecoder(target, draft_layers=d, gamma=g,
-                         draft_head_bits=4)
-        dslots = sd.draft.add_requests(prompts)
-        assert dslots == slots
+        for g_ in (g, 8):
+            sd = SpecDecoder(target, draft_layers=d, gamma=g_,
+                             draft_head_bits=4)
+            dslots = sd.draft.add_requests(prompts)
+            assert dslots == slots
 
-        def fused():
-            out = sd.spec_steps(dict(last), rounds=r)
-            reset()
-            return out
+            def fused():
+                out = sd.spec_steps(dict(last), rounds=r)
+                reset()
+                return out
 
-        fused()  # compile
-        sd.proposed = sd.accepted = 0
-        t0 = time.time()
-        n_disp, emitted = 4, 0
-        for _ in range(n_disp):
-            out = fused()
-            emitted += sum(len(t) for t in out.values())
-        dt = time.time() - t0
-        round_ms = dt / n_disp / r * 1e3
-        tok_s = emitted / dt
-        print(f"c={c:<5} round {round_ms:6.2f} ms = "
-              f"{round_ms / (batch / plain_tok_s * 1e3):.2f} seq-tokens, "
-              f"accept/token {sd.acceptance_rate:.3f}, measured "
-              f"{tok_s:7.1f} tok/s ({tok_s / plain_tok_s:.2f}x plain)",
-              file=sys.stderr)
-        bench.free_engine(target)
-        bench.free_engine(sd.draft)
+            fused()  # compile
+            sd.proposed = sd.accepted = 0
+            t0 = time.time()
+            n_disp, emitted = 4, 0
+            for _ in range(n_disp):
+                out = fused()
+                emitted += sum(len(t) for t in out.values())
+            dt = time.time() - t0
+            round_ms = dt / n_disp / r * 1e3
+            tok_s = emitted / dt
+            print(f"c={c:<6} g={g_} round {round_ms:6.2f} ms = "
+                  f"{round_ms / (batch / plain_tok_s * 1e3):.2f} "
+                  f"seq-tokens, accept/token {sd.acceptance_rate:.3f}, "
+                  f"measured {tok_s:7.1f} tok/s "
+                  f"({tok_s / plain_tok_s:.2f}x plain)", file=sys.stderr)
+            # the layer-skip draft SHARES the target's prepped layer
+            # buffers — free only its cache and its private head/embeds
+            bench.free_buffers(sd.draft.cache)
+            tkeep = keep | {id(x) for x in jax.tree.leaves(target.params)}
+            for x in jax.tree.leaves(sd.draft.params):
+                if hasattr(x, "delete") and id(x) not in tkeep:
+                    try:
+                        x.delete()
+                    except Exception:
+                        pass
+        free(target)
 
 
 if __name__ == "__main__":
